@@ -1,0 +1,121 @@
+"""Gauss-Newton pose optimization with Huber weights and chi2 outlier gating.
+
+Behavioral twin of Optimizer::PoseOptimization (reference Optimizer.cc:
+239-451): minimize robust reprojection error of map-point observations over
+one SE3 camera pose, 4 rounds x 10 iterations, with per-round chi2
+inlier reclassification (5.991 mono / 7.815 stereo) and per-level
+information scaling (sigma2 = scale^2level).
+
+TPU design: instead of g2o's sparse graph, residuals and 2x6/3x6 Jacobians
+are closed-form and vmapped over a fixed-size padded match set; the 6x6
+normal equations are formed with one einsum and solved with Cholesky inside
+`lax.fori_loop`. The whole optimization is a single XLA program with zero
+host sync.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gdslam_tpu.core import lie
+
+CHI2_MONO = 5.991     # Optimizer.cc:292 (2-dof 95%)
+CHI2_STEREO = 7.815   # Optimizer.cc:320 (3-dof 95%)
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class PoseObs(NamedTuple):
+    """Fixed-size padded observation set for single-pose optimization."""
+
+    pw: jnp.ndarray       # [N, 3] world points
+    uv: jnp.ndarray       # [N, 2] observed (undistorted) pixel coords
+    ur: jnp.ndarray       # [N] observed right-view u (u - bf/z); <0 => mono obs
+    inv_sigma2: jnp.ndarray  # [N] information scale (1 / 1.2^(2 level))
+    valid: jnp.ndarray    # [N] bool
+
+
+def _residual_jacobian(T: jnp.ndarray, obs: PoseObs, K: tuple, bf: float):
+    """Stacked [N, 3] residuals (u, v, ur) and [N, 3, 6] Jacobians."""
+    fx, fy, cx, cy = K
+    Xc = lie.se3_apply(T, obs.pw)                      # [N, 3]
+    x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
+    z_safe = jnp.where(z > 1e-6, z, 1e-6)
+    iz = 1.0 / z_safe
+    iz2 = iz * iz
+    u = fx * x * iz + cx
+    v = fy * y * iz + cy
+    ur = u - bf * iz
+    is_stereo = obs.ur >= 0
+    r = jnp.stack([u - obs.uv[:, 0], v - obs.uv[:, 1],
+                   jnp.where(is_stereo, ur - obs.ur, 0.0)], axis=1)
+
+    # d(proj)/dXc rows
+    zero = jnp.zeros_like(x)
+    du = jnp.stack([fx * iz, zero, -fx * x * iz2], axis=1)
+    dv = jnp.stack([zero, fy * iz, -fy * y * iz2], axis=1)
+    dur = jnp.stack([fx * iz, zero, -fx * x * iz2 + bf * iz2], axis=1)
+    dproj = jnp.stack([du, dv, jnp.where(is_stereo[:, None], dur, 0.0)], axis=1)  # [N,3,3]
+    # dXc/d(delta xi), left perturbation T <- exp(dxi) T: [I | -hat(Xc)]
+    dXc = jnp.concatenate([
+        jnp.broadcast_to(jnp.eye(3), (Xc.shape[0], 3, 3)), -lie.hat(Xc)], axis=2)  # [N,3,6]
+    J = jnp.einsum("nij,njk->nik", dproj, dXc, precision=_PREC)   # [N,3,6]
+    behind = z <= 1e-6
+    return r, J, behind
+
+
+def _robust_weights(r: jnp.ndarray, obs: PoseObs, inlier: jnp.ndarray):
+    """Huber weights per observation (delta^2 = chi2 gate, as g2o uses
+    sqrt(5.991)/sqrt(7.815) for delta; Optimizer.cc:300,328)."""
+    is_stereo = obs.ur >= 0
+    chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    e2 = jnp.sum(r * r, axis=1) * obs.inv_sigma2
+    # Huber: w = 1 if e2 <= delta2 else delta/sqrt(e2)
+    w_huber = jnp.where(e2 <= chi2_th, 1.0,
+                        jnp.sqrt(chi2_th / jnp.maximum(e2, 1e-12)))
+    w = w_huber * obs.inv_sigma2 * (inlier & obs.valid)
+    return w, e2
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def pose_optimization(T_init: jnp.ndarray, obs: PoseObs, K: tuple, bf: float,
+                      rounds: int = 4, iters: int = 10):
+    """Optimize camera pose T_cw. Returns (T, inlier_mask, n_inliers).
+
+    Mirrors the 4x10 schedule with chi2 reclassification between rounds
+    (Optimizer.cc:364-442). Observations with ur < 0 are monocular.
+    """
+    is_stereo = obs.ur >= 0
+    chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+
+    def gn_iter(_, T):
+        r, J, behind = _residual_jacobian(T, obs, K, bf)
+        w, _ = _robust_weights(r, obs, inlier)
+        w = jnp.where(behind, 0.0, w)
+        H = jnp.einsum("nri,n,nrj->ij", J, w, J, precision=_PREC)
+        b = jnp.einsum("nri,n,nr->i", J, w, r, precision=_PREC)
+        H = H + 1e-5 * jnp.eye(6)
+        dx = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H), b)
+        ok = jnp.all(jnp.isfinite(dx))
+        T_new = lie.se3_exp(jnp.where(ok, dx, jnp.zeros(6))) @ T
+        return T_new
+
+    T = T_init
+    inlier = obs.valid
+    for _ in range(rounds):
+        T = jax.lax.fori_loop(0, iters, gn_iter, T)
+        r, _, behind = _residual_jacobian(T, obs, K, bf)
+        e2 = jnp.sum(r * r, axis=1) * obs.inv_sigma2
+        inlier = obs.valid & (e2 <= chi2_th) & ~behind
+    return T, inlier, jnp.sum(inlier)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def pose_chi2(T: jnp.ndarray, obs: PoseObs, K: tuple, bf: float):
+    """Per-observation chi2 at pose T (for external gating)."""
+    r, _, behind = _residual_jacobian(T, obs, K, bf)
+    e2 = jnp.sum(r * r, axis=1) * obs.inv_sigma2
+    return jnp.where(behind, jnp.inf, e2)

@@ -1,0 +1,151 @@
+"""Closed-form alignment solvers + vmapped RANSAC.
+
+Replaces the reference's sampling solvers with TPU-native vmapped hypothesis
+batteries:
+
+- `horn_alignment`: Horn's absolute-orientation closed form (SVD) for
+  SE3 (fixed scale) or Sim3 — the math behind Sim3Solver::ComputeSim3
+  (reference Sim3Solver.h:55-58; scale fixed for RGB-D per Sim3Solver.h:20).
+- `ransac_rigid`: RANSAC over 3D-3D correspondences. This also serves where
+  the reference uses EPnP RANSAC (PnPsolver, Tracking.cc:1715) and
+  solvePnPRansac (GeoMaskMaker.cc:149-150): with RGB-D, every keypoint has
+  depth, so relative pose is a 3D-3D problem with a closed-form minimal
+  solver — all `n_iters` hypotheses are solved and scored in parallel with
+  one vmap instead of a sequential early-exit loop.
+
+Consensus is scored by *reprojection* error in the target view (matching the
+reference's image-space inlier checks).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gdslam_tpu.core import lie
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def horn_alignment(P: jnp.ndarray, Q: jnp.ndarray, w: jnp.ndarray,
+                   with_scale: bool = False):
+    """Weighted closed-form R, t, s with s*R @ P + t ~= Q.
+
+    P, Q: [n, 3]; w: [n] non-negative weights (0 = ignore).
+    Returns (R [3,3], t [3], s scalar). Supports leading batch dims via vmap.
+    """
+    wsum = jnp.sum(w) + 1e-12
+    cp = jnp.einsum("n,ni->i", w, P, precision=_PREC) / wsum
+    cq = jnp.einsum("n,ni->i", w, Q, precision=_PREC) / wsum
+    Pc = P - cp
+    Qc = Q - cq
+    H = jnp.einsum("n,ni,nj->ij", w, Pc, Qc, precision=_PREC)
+    U, S, Vt = jnp.linalg.svd(H)
+    d = jnp.linalg.det(Vt.T @ U.T)
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.stack([1.0, 1.0, d]))
+    R = Vt.T @ D @ U.T
+    if with_scale:
+        num = jnp.einsum("n,ni,ni->", w, Qc, jnp.einsum("ij,nj->ni", R, Pc, precision=_PREC),
+                         precision=_PREC)
+        den = jnp.einsum("n,ni,ni->", w, Pc, Pc, precision=_PREC) + 1e-12
+        s = num / den
+    else:
+        s = jnp.asarray(1.0)
+    t = cq - s * (R @ cp)
+    return R, t, s
+
+
+class RansacResult(NamedTuple):
+    T: jnp.ndarray          # [4, 4] best rigid transform (Q <- P)
+    inliers: jnp.ndarray    # [n] bool consensus set
+    n_inliers: jnp.ndarray  # scalar int
+    ok: jnp.ndarray         # scalar bool (enough inliers found)
+
+
+@partial(jax.jit, static_argnums=(4, 6, 7, 8))
+def ransac_rigid(P: jnp.ndarray, Q: jnp.ndarray, valid: jnp.ndarray,
+                 key: jnp.ndarray, K: tuple, uv_q: jnp.ndarray,
+                 n_iters: int = 300, sample_size: int = 3,
+                 min_inliers: int = 10, px_threshold: float = 4.0) -> RansacResult:
+    """RANSAC rigid 3D-3D with reprojection consensus.
+
+    P [n,3] source points, Q [n,3] target-frame points, uv_q [n,2] observed
+    pixels in the target view; K = (fx, fy, cx, cy). All hypotheses are
+    evaluated in parallel (n_iters fixed, no early exit — the reference caps
+    at 300 iterations anyway, SetRansacParameters Tracking.cc:1715).
+    """
+    n = P.shape[0]
+    fx, fy, cx, cy = K
+    probs = valid.astype(jnp.float32) / jnp.maximum(jnp.sum(valid), 1)
+    # Sample with replacement; degenerate (repeated-index) samples simply
+    # yield poor hypotheses that lose the argmax.
+    idx = jax.random.categorical(
+        key, jnp.log(probs + 1e-12)[None, :].repeat(n_iters * sample_size, 0))
+    idx = idx.reshape(n_iters, sample_size)
+
+    def solve_one(sample_idx):
+        Ps = P[sample_idx]
+        Qs = Q[sample_idx]
+        R, t, _ = horn_alignment(Ps, Qs, jnp.ones(sample_size))
+        return lie.rt_to_mat(R, t)
+
+    Ts = jax.vmap(solve_one)(idx)                       # [iters, 4, 4]
+
+    def score_one(T):
+        Pq = lie.se3_apply(T, P)                        # [n, 3]
+        z = jnp.maximum(Pq[:, 2], 1e-6)
+        u = fx * Pq[:, 0] / z + cx
+        v = fy * Pq[:, 1] / z + cy
+        err = jnp.hypot(u - uv_q[:, 0], v - uv_q[:, 1])
+        inl = valid & (err < px_threshold) & (Pq[:, 2] > 1e-6)
+        return jnp.sum(inl), inl
+
+    scores, inls = jax.vmap(score_one)(Ts)
+    best = jnp.argmax(scores)
+    inliers = inls[best]
+
+    # Refine on the full consensus set (closed form again).
+    R, t, _ = horn_alignment(P, Q, inliers.astype(jnp.float32))
+    T_ref = lie.rt_to_mat(R, t)
+    n_ref, inliers_ref = score_one(T_ref)
+    use_ref = n_ref >= scores[best]
+    T_best = jnp.where(use_ref, T_ref, Ts[best])
+    inliers = jnp.where(use_ref, inliers_ref, inliers)
+    n_best = jnp.maximum(n_ref, scores[best])
+    return RansacResult(T=T_best, inliers=inliers, n_inliers=n_best,
+                        ok=n_best >= min_inliers)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def ransac_sim3(P: jnp.ndarray, Q: jnp.ndarray, valid: jnp.ndarray,
+                key: jnp.ndarray, n_iters: int = 300, min_inliers: int = 20,
+                err_threshold: float = 0.05, with_scale: bool = False):
+    """RANSAC Sim3/SE3 on 3D-3D with metric consensus — Sim3Solver::iterate
+    semantics (RANSAC(0.99, 20, 300), LoopClosing.cc:279). Scale is fixed at
+    1 for RGB-D unless with_scale."""
+    n = P.shape[0]
+    probs = valid.astype(jnp.float32) / jnp.maximum(jnp.sum(valid), 1)
+    idx = jax.random.categorical(
+        key, jnp.log(probs + 1e-12)[None, :].repeat(n_iters * 3, 0)).reshape(n_iters, 3)
+
+    def solve_one(si):
+        R, t, s = horn_alignment(P[si], Q[si], jnp.ones(3), with_scale=with_scale)
+        return R, t, s
+
+    Rs, ts, ss = jax.vmap(solve_one)(idx)
+
+    def score_one(R, t, s):
+        Pq = lie.sim3_apply(R, t, s, P)
+        err = jnp.linalg.norm(Pq - Q, axis=-1)
+        inl = valid & (err < err_threshold)
+        return jnp.sum(inl), inl
+
+    scores, inls = jax.vmap(score_one)(Rs, ts, ss)
+    best = jnp.argmax(scores)
+    w = inls[best].astype(jnp.float32)
+    R, t, s = horn_alignment(P, Q, w, with_scale=with_scale)
+    n_fin, inl_fin = score_one(R, t, s)
+    return R, t, s, inl_fin, n_fin, n_fin >= min_inliers

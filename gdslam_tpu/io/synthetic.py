@@ -18,6 +18,7 @@ from functools import partial
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from gdslam_tpu.config import CameraConfig
@@ -63,12 +64,25 @@ def value_noise(x: jnp.ndarray, y: jnp.ndarray, seed: float = 0.0,
 
 # Box room: camera starts near origin looking +z. Planes: (normal, offset,
 # texture seed); point p is on plane when n . p = offset.
+_N_BACK = (0.25, 0.15, 0.956)       # tilted back wall: depth gradient in view
 _PLANES = (
-    ((0.0, 0.0, 1.0), 4.0, 1.0),    # back wall  z = 4
-    ((0.0, 1.0, 0.0), 1.5, 2.0),    # floor      y = 1.5 (y down in cam frame)
-    ((0.0, 1.0, 0.0), -1.5, 3.0),   # ceiling    y = -1.5
-    ((1.0, 0.0, 0.0), 2.5, 4.0),    # right wall x = 2.5
-    ((1.0, 0.0, 0.0), -2.5, 5.0),   # left wall  x = -2.5
+    (_N_BACK, 2.8, 1.0),            # tilted back wall, ~2.9 m on axis
+    ((0.0, 1.0, 0.0), 1.25, 2.0),   # floor      y = 1.25 (y down in cam frame)
+    ((0.0, 1.0, 0.0), -1.25, 3.0),  # ceiling    y = -1.25
+    ((1.0, 0.0, 0.0), 1.7, 4.0),    # right wall x = 1.7
+    ((1.0, 0.0, 0.0), -1.7, 5.0),   # left wall  x = -1.7
+)
+
+# Static clutter: textured spheres at varied depths so every viewpoint sees
+# depth diversity (a fronto-parallel constant-depth wall alone makes lateral
+# translation + rotation a near-gauge-freedom for any SLAM system).
+_STATIC_SPHERES = (
+    ((-0.7, 0.45, 1.6), 0.28, 11.0),
+    ((0.8, -0.35, 2.0), 0.33, 12.0),
+    ((0.1, 0.7, 1.3), 0.22, 13.0),
+    ((-0.9, -0.6, 2.3), 0.38, 14.0),
+    ((0.55, 0.5, 2.45), 0.3, 15.0),
+    ((-0.15, -0.2, 1.05), 0.16, 16.0),
 )
 
 SPHERE_RADIUS = 0.35
@@ -95,9 +109,9 @@ def sphere_center(frame_idx, fps: float = 30.0) -> jnp.ndarray:
     """Dynamic object: sphere sweeping across the view."""
     t = jnp.asarray(frame_idx, jnp.float32) / fps
     return jnp.stack([
-        0.9 * jnp.sin(1.7 * t),
+        0.7 * jnp.sin(1.7 * t),
         0.3 * jnp.sin(1.3 * t + 0.7) + 0.2,
-        2.2 + 0.4 * jnp.sin(0.9 * t + 0.2),
+        1.9 + 0.3 * jnp.sin(0.9 * t + 0.2),
     ])
 
 
@@ -118,17 +132,15 @@ def render(T_wc: jnp.ndarray, cam: CameraConfig, with_dynamic: bool = True,
     best_tex = jnp.zeros((H, W))
     best_tint = jnp.ones((H, W, 3))
     for (n, off, seed) in _PLANES:
-        n_arr = jnp.asarray(n)
+        n_arr = jnp.asarray(n) / np.linalg.norm(n)
         denom = jnp.einsum("hwi,i->hw", d, n_arr)
         s = (off - jnp.dot(o, n_arr)) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
         p = o[None, None] + s[..., None] * d
-        # plane-local 2D coords for texturing: drop the normal axis
-        if n[2] == 1.0:
-            lx, ly = p[..., 0], p[..., 1]
-        elif n[1] == 1.0:
-            lx, ly = p[..., 0], p[..., 2]
-        else:
-            lx, ly = p[..., 1], p[..., 2]
+        # plane-local 2D coords for texturing: use the two axes most
+        # orthogonal to the normal
+        ax = int(np.argmax(np.abs(n)))
+        a1, a2 = [i for i in range(3) if i != ax]
+        lx, ly = p[..., a1], p[..., a2]
         tex = value_noise(lx * 3.1, ly * 3.1, seed)
         hit = (s > 0.05) & (s < best_s)
         best_tex = jnp.where(hit, tex, best_tex)
@@ -136,23 +148,34 @@ def render(T_wc: jnp.ndarray, cam: CameraConfig, with_dynamic: bool = True,
         best_tint = jnp.where(hit[..., None], tint[None, None], best_tint)
         best_s = jnp.where(hit, s, best_s)
 
-    dyn_mask = jnp.zeros((H, W), jnp.bool_)
-    if with_dynamic:
-        c = sphere_center(frame_idx, fps)
+    def add_sphere(state, c, radius, seed, tint):
+        best_s, best_tex, best_tint = state
         oc = o - c
         b = jnp.einsum("hwi,i->hw", d, oc)
         dnorm2 = jnp.sum(d * d, axis=-1)
-        disc = b * b - dnorm2 * (jnp.dot(oc, oc) - SPHERE_RADIUS ** 2)
+        disc = b * b - dnorm2 * (jnp.dot(oc, oc) - radius ** 2)
         s_sph = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / dnorm2
-        sph_hit = (disc > 0) & (s_sph > 0.05) & (s_sph < best_s)
+        hit = (disc > 0) & (s_sph > 0.05) & (s_sph < best_s)
         p = o[None, None] + s_sph[..., None] * d
         rel = p - c
-        tex_s = value_noise(rel[..., 0] * 14.0 + 9.0, rel[..., 1] * 14.0, 7.0)
-        best_tex = jnp.where(sph_hit, tex_s, best_tex)
-        best_tint = jnp.where(sph_hit[..., None],
-                              jnp.asarray([1.0, 0.75, 0.7])[None, None], best_tint)
-        best_s = jnp.where(sph_hit, s_sph, best_s)
-        dyn_mask = sph_hit
+        tex_s = value_noise(rel[..., 0] * 14.0 + 9.0, rel[..., 1] * 14.0, seed)
+        best_tex = jnp.where(hit, tex_s, best_tex)
+        best_tint = jnp.where(hit[..., None], jnp.asarray(tint)[None, None],
+                              best_tint)
+        best_s = jnp.where(hit, s_sph, best_s)
+        return (best_s, best_tex, best_tint), hit
+
+    state = (best_s, best_tex, best_tint)
+    for (c, r, seed) in _STATIC_SPHERES:
+        state, _ = add_sphere(state, jnp.asarray(c), r, seed,
+                              (0.8, 0.9, 1.0))
+
+    dyn_mask = jnp.zeros((H, W), jnp.bool_)
+    if with_dynamic:
+        c = sphere_center(frame_idx, fps)
+        state, dyn_mask = add_sphere(state, c, SPHERE_RADIUS, 7.0,
+                                     (1.0, 0.75, 0.7))
+    best_s, best_tex, best_tint = state
 
     shade = 40.0 + 190.0 * best_tex
     rgb = jnp.clip(shade[..., None] * best_tint, 0, 255)

@@ -1,0 +1,130 @@
+"""Public SLAM system API — the counterpart of `ORB_SLAM2::System`.
+
+Mirrors the reference's public surface (include/System.h, src/System.cc):
+construction from a settings file, per-frame Track* entry points, trajectory
+export in TUM/KITTI formats, localization-mode toggles, Reset/Shutdown.
+The vocabulary argument of the reference ctor is optional here: BoW place
+recognition uses an in-framework-trained vocabulary (see backend/vocabulary)
+instead of the external ORBvoc.txt (which neither repo ships).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gdslam_tpu.config import SlamConfig
+from gdslam_tpu.system import trajectory as traj
+from gdslam_tpu.system.tracking import Tracking, TrackState
+
+
+class Sensor(enum.Enum):
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+
+
+def _to_gray(im: np.ndarray, rgb_order: bool = True) -> jnp.ndarray:
+    im = jnp.asarray(im, jnp.float32)
+    if im.ndim == 2:
+        return im
+    r, g, b = (0, 1, 2) if rgb_order else (2, 1, 0)
+    return 0.299 * im[..., r] + 0.587 * im[..., g] + 0.114 * im[..., b]
+
+
+class System:
+    """TPU-native SLAM system with the reference's System API surface
+    (System::TrackRGBD System.cc:157-312, SaveTrajectoryTUM :418-476,
+    SaveKeyFrameTrajectoryTUM :479-513, SaveTrajectoryKITTI :543-596)."""
+
+    def __init__(self, settings: SlamConfig | str, sensor: Sensor = Sensor.RGBD,
+                 use_viewer: bool = False, vocabulary: Optional[str] = None,
+                 kmax: int = 512, pmax: int = 65536):
+        if isinstance(settings, str):
+            settings = SlamConfig.from_opencv_yaml(settings)
+        self.cfg = settings
+        self.sensor = sensor
+        self.tracker = Tracking(settings, kmax=kmax, pmax=pmax)
+        self._localization_only = False
+        self._geo = None  # lazily-constructed GeoMaskMaker (TrackRGBD_GD)
+
+    # ------------------------------------------------------------------ track
+    def track_rgbd(self, rgb: np.ndarray, depth: np.ndarray,
+                   mask: Optional[np.ndarray], timestamp: float) -> np.ndarray:
+        """TrackRGBD (System.cc:157-207 4-arg form): depth in meters (already
+        scaled by DepthMapFactor), mask 1=static. Returns T_cw 4x4."""
+        gray = _to_gray(rgb, self.cfg.camera.rgb == 1)
+        depth = jnp.asarray(depth, jnp.float32)
+        if mask is None:
+            mask = jnp.ones(gray.shape, jnp.float32)
+        return self.tracker.process(gray, depth, jnp.asarray(mask, jnp.float32),
+                                    timestamp)
+
+    def track_rgbd_gd(self, rgb: np.ndarray, depth: np.ndarray,
+                      mask: Optional[np.ndarray], timestamp: float):
+        """TrackRGBD_GD (System.cc:209-260): runs the dense-scene-flow
+        GeoMaskMaker to refine the semantic mask before tracking
+        (Tracking::GrabImageRGBD_GD, Tracking.cc:212-269). Returns
+        (T_cw, refined_mask)."""
+        from gdslam_tpu.masking.geomask import GeoMaskMaker
+        gray = _to_gray(rgb, self.cfg.camera.rgb == 1)
+        depth = jnp.asarray(depth, jnp.float32)
+        if mask is None:
+            mask = jnp.ones(gray.shape, jnp.float32)
+        mask = jnp.asarray(mask, jnp.float32)
+        if self._geo is None:
+            self._geo = GeoMaskMaker(self.cfg)
+        self._geo.add_new_image(gray, depth, mask)
+        refined = self._geo.get_mask(mask)
+        T = self.tracker.process(gray, depth, refined, timestamp)
+        return T, np.asarray(refined)
+
+    # ------------------------------------------------------------------ modes
+    def activate_localization_mode(self):
+        """System::ActivateLocalizationMode (System.cc:366): stop map growth;
+        tracking continues against the frozen map."""
+        self._localization_only = True
+        self.tracker.mapping_enabled = False
+
+    def deactivate_localization_mode(self):
+        self._localization_only = False
+        self.tracker.mapping_enabled = True
+
+    def reset(self):
+        """System::Reset (System.cc:391)."""
+        self.tracker = Tracking(self.cfg, kmax=self.tracker.arena.kmax,
+                                pmax=self.tracker.arena.pmax)
+        self._geo = None
+
+    def shutdown(self):
+        """System::Shutdown (System.cc:397-416). No threads to join in the
+        synchronous configuration; async backend workers are drained."""
+        backend = getattr(self.tracker, "backend", None)
+        if backend is not None:
+            backend.drain()
+
+    # ------------------------------------------------------------------ state
+    @property
+    def tracking_state(self) -> TrackState:
+        return self.tracker.state
+
+    @property
+    def map_point_count(self) -> int:
+        return int(jnp.sum(self.tracker.arena.pt_valid))
+
+    @property
+    def keyframe_count(self) -> int:
+        return int(jnp.sum(self.tracker.arena.kf_valid))
+
+    # ----------------------------------------------------------------- export
+    def save_trajectory_tum(self, path: str):
+        traj.save_tum(path, self.tracker.camera_trajectory())
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        traj.save_tum(path, self.tracker.keyframe_trajectory())
+
+    def save_trajectory_kitti(self, path: str):
+        traj.save_kitti(path, self.tracker.camera_trajectory())

@@ -1,0 +1,457 @@
+"""Tracking front-end: the per-frame state machine.
+
+Re-design of the reference Tracking class (Tracking.cc:408-652 `Track`,
+762-815 `StereoInitialization`, 1196-1257 `TrackWithMotionModel`,
+1259-1303 `TrackLocalMap`, 1306-1470 keyframe decision/creation).
+
+Architecture: a thin host state machine drives a handful of jitted device
+programs; all per-frame math (extraction, matching, pose GN, map updates)
+runs on device against the fixed-shape MapArena. Host branching happens only
+at frame granularity (tracking-ok?, need-keyframe?), mirroring the
+reference's own frame-level control flow.
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdslam_tpu.backend import map_arena as ma
+from gdslam_tpu.backend import optimizer
+from gdslam_tpu.config import SlamConfig
+from gdslam_tpu.core import camera as cam_ops
+from gdslam_tpu.core import lie
+from gdslam_tpu.frontend import extractor, matcher
+from gdslam_tpu.frontend.frame import Frame, build_frame
+
+LOCAL_POINT_CAP = 4096   # dense local-map candidate budget
+
+
+class TrackState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+class FrameState(NamedTuple):
+    """Device-resident last-frame context."""
+
+    frame: Frame
+    T_cw: jnp.ndarray       # [4, 4]
+    assoc: jnp.ndarray      # [N] int32 map-point id per keypoint (-1)
+
+
+def _K(cfg: SlamConfig):
+    c = cfg.camera
+    return (c.fx, c.fy, c.cx, c.cy)
+
+
+def _inv_sigma2(level: jnp.ndarray, scale: float) -> jnp.ndarray:
+    return 1.0 / (scale ** (2.0 * level.astype(jnp.float32)))
+
+
+# ----------------------------------------------------------------------------
+# Device programs
+# ----------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(3,))
+def stereo_initialize(arena: ma.MapArena, frame: Frame, T_cw: jnp.ndarray,
+                      cfg: SlamConfig):
+    """First keyframe + map points from every depth-valid keypoint
+    (StereoInitialization, Tracking.cc:762-815)."""
+    arena, assoc = _insert_keyframe(arena, frame, T_cw,
+                                    -jnp.ones(frame.uv.shape[0], jnp.int32),
+                                    jnp.asarray(0.0), cfg, max_depth=1e9)
+    return arena, assoc
+
+
+def _insert_keyframe(arena: ma.MapArena, frame: Frame, T_cw: jnp.ndarray,
+                     assoc: jnp.ndarray, timestamp, cfg: SlamConfig,
+                     max_depth: float | None = None):
+    """Insert keyframe + create map points for unmatched close-depth
+    keypoints (CreateNewKeyFrame, Tracking.cc:1392-1470)."""
+    cam = cfg.camera
+    kf_id = arena.n_kf
+    if max_depth is None:
+        max_depth = cam.bf * cam.th_depth / cam.fx  # mThDepth (Tracking.cc:120)
+    T_wc = lie.se3_inverse(T_cw)
+    # New points: valid kp with depth, unassociated, and either close-range
+    # or among the 100 nearest — the reference creates the 100 nearest
+    # regardless of the depth threshold (CreateNewKeyFrame depth-sorted loop,
+    # Tracking.cc:1392-1470).
+    eligible = frame.valid & (frame.depth > 0) & (assoc < 0)
+    depth_rank = jnp.argsort(jnp.argsort(
+        jnp.where(eligible, frame.depth, jnp.inf)))
+    create = eligible & ((frame.depth < max_depth) | (depth_rank < 100))
+    order = jnp.cumsum(create.astype(jnp.int32)) - 1
+    slot = jnp.where(create, arena.n_pt + order, 0)
+    pc = cam_ops.backproject(frame.uv, frame.depth, cam)
+    pw = lie.se3_apply(T_wc, pc)
+    ow = T_wc[:3, 3]
+    dvec = pw - ow
+    dist = jnp.linalg.norm(dvec, axis=1)
+    normal = dvec / jnp.maximum(dist[:, None], 1e-9)
+    sf = float(cfg.orb.scale_factor)
+    level_sf = sf ** frame.level.astype(jnp.float32)
+    max_d = dist * level_sf
+    min_d = max_d / (sf ** (cfg.orb.n_levels - 1))
+
+    def scatter(dst, src):
+        return dst.at[slot].set(jnp.where(
+            create.reshape((-1,) + (1,) * (src.ndim - 1)), src, dst[slot]))
+
+    arena = arena._replace(
+        pt_pos=scatter(arena.pt_pos, pw),
+        pt_desc=scatter(arena.pt_desc, frame.desc),
+        pt_normal=scatter(arena.pt_normal, normal),
+        pt_min_dist=scatter(arena.pt_min_dist, min_d),
+        pt_max_dist=scatter(arena.pt_max_dist, max_d),
+        pt_valid=arena.pt_valid.at[slot].set(
+            jnp.where(create, True, arena.pt_valid[slot])),
+        pt_ref_kf=scatter(arena.pt_ref_kf, jnp.full_like(slot, kf_id)),
+        n_pt=arena.n_pt + jnp.sum(create),
+    )
+    new_assoc = jnp.where(create, slot.astype(jnp.int32), assoc)
+    obs_row = jnp.where(frame.valid, new_assoc, -1)
+    arena = arena._replace(
+        kf_pose=arena.kf_pose.at[kf_id].set(T_cw),
+        kf_valid=arena.kf_valid.at[kf_id].set(True),
+        kf_time=arena.kf_time.at[kf_id].set(timestamp),
+        kf_uv=arena.kf_uv.at[kf_id].set(frame.uv),
+        kf_ur=arena.kf_ur.at[kf_id].set(frame.ur),
+        kf_depth=arena.kf_depth.at[kf_id].set(frame.depth),
+        kf_level=arena.kf_level.at[kf_id].set(frame.level),
+        kf_angle=arena.kf_angle.at[kf_id].set(frame.angle),
+        kf_desc=arena.kf_desc.at[kf_id].set(frame.desc),
+        kf_kp_valid=arena.kf_kp_valid.at[kf_id].set(frame.valid),
+        kf_obs=arena.kf_obs.at[kf_id].set(obs_row),
+        n_kf=arena.n_kf + 1,
+    )
+    # observation counts for matched existing points
+    obs_inc = (obs_row >= 0)
+    arena = arena._replace(pt_n_obs=arena.pt_n_obs.at[
+        jnp.where(obs_inc, obs_row, arena.pmax - 1)].add(obs_inc.astype(jnp.int32)))
+    arena = ma.update_covisibility(arena, kf_id)
+    return arena, new_assoc
+
+
+insert_keyframe = jax.jit(_insert_keyframe, static_argnums=(5,))
+
+
+@partial(jax.jit, static_argnums=(4,))
+def fuse_associate(arena: ma.MapArena, frame: Frame, T_cw: jnp.ndarray,
+                   assoc: jnp.ndarray, cfg: SlamConfig):
+    """Associate still-unmatched keypoints to existing map points with a
+    wider window before creating new points — the role of LocalMapping's
+    SearchInNeighbors / ORBmatcher::Fuse duplicate merging
+    (LocalMapping.cc:454-535, ORBmatcher.cc:825-977), done proactively at
+    keyframe insertion so duplicates are never created."""
+    cam = cfg.camera
+    sfs = extractor.scale_factors(cfg.orb)
+    uv_p, level_p, radius_p, vis = matcher.project_for_search(
+        arena.pt_pos, arena.pt_valid, T_cw, _K(cfg), (cam.width, cam.height),
+        sfs, pt_max_dist=arena.pt_max_dist, pt_normal=arena.pt_normal,
+        base_radius=6.0)
+    score = jnp.where(vis, 1 + arena.pt_n_obs, 0)
+    _, cand_ids = jax.lax.top_k(score, LOCAL_POINT_CAP)
+    cvalid = vis[cand_ids]
+    from gdslam_tpu.ops import orb as orb_ops
+    kp_free = frame.valid & (assoc < 0)
+    res = matcher.match_candidates(
+        uv_p[cand_ids], cvalid,
+        orb_ops.descriptors_pm1(arena.pt_desc[cand_ids], cvalid),
+        level_p[cand_ids], jnp.zeros(LOCAL_POINT_CAP), radius_p[cand_ids],
+        frame.uv, kp_free,
+        orb_ops.descriptors_pm1(frame.desc, kp_free),
+        frame.level, frame.angle,
+        th_hamming=matcher.TH_LOW, level_slack=1, use_rotation=False)
+    new_match = res.point_idx >= 0
+    return jnp.where(new_match,
+                     cand_ids[jnp.where(new_match, res.point_idx, 0)]
+                     .astype(jnp.int32), assoc)
+
+
+@jax.jit
+def cull_points(arena: ma.MapArena):
+    """MapPointCulling (LocalMapping.cc:170-206): drop points whose
+    found/visible ratio < 0.25, or that are >=3 keyframes old with fewer
+    than 2 keyframe observations."""
+    age = arena.n_kf - arena.pt_ref_kf
+    ratio = arena.pt_found.astype(jnp.float32) / \
+        jnp.maximum(arena.pt_visible, 1).astype(jnp.float32)
+    seen_enough = arena.pt_visible >= 8  # don't judge brand-new points
+    bad = (seen_enough & (ratio < 0.25)) | ((age >= 3) & (arena.pt_n_obs < 2))
+    return arena._replace(pt_valid=arena.pt_valid & ~bad)
+
+
+@jax.jit
+def ref_tracked_points(arena: ma.MapArena, kf_id, min_obs) -> jnp.ndarray:
+    """KeyFrame::TrackedMapPoints(minObs) (KeyFrame.cc): #keypoints of kf_id
+    whose map point has >= min_obs observations."""
+    obs = arena.kf_obs[kf_id]
+    has = obs >= 0
+    n_obs = arena.pt_n_obs[jnp.where(has, obs, 0)]
+    ok = has & arena.pt_valid[jnp.where(has, obs, 0)] & (n_obs >= min_obs)
+    return jnp.sum(ok)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def track_motion_model(last: FrameState, last_depthpts_w: jnp.ndarray,
+                       frame: Frame, T_pred: jnp.ndarray, cfg: SlamConfig,
+                       radius_px: float = 15.0):
+    """Frame-to-frame tracking (TrackWithMotionModel, Tracking.cc:1196-1257).
+
+    Candidates are the last frame's keypoints that have either a map-point
+    association or valid depth (the reference's temporal 'visual odometry'
+    points, UpdateLastFrame Tracking.cc:1056-1125); their 3D positions come
+    from the map / last-frame depth. Matching = dense projection search with
+    radius 15*scale^level; then pose GN.
+    """
+    cam = cfg.camera
+    K = _K(cfg)
+    sf = float(cfg.orb.scale_factor)
+    lf = last.frame
+    cand_valid = lf.valid & ((last.assoc >= 0) | (lf.depth > 0))
+    # Project candidate world points with the predicted pose.
+    uv_proj, zc = cam_ops.project(lie.se3_apply(T_pred, last_depthpts_w), cam)
+    in_img = (uv_proj[:, 0] >= 0) & (uv_proj[:, 0] < cam.width) & \
+             (uv_proj[:, 1] >= 0) & (uv_proj[:, 1] < cam.height) & (zc > 0)
+    cand_valid = cand_valid & in_img
+    radius = radius_px * sf ** lf.level.astype(jnp.float32)
+
+    from gdslam_tpu.ops import orb as orb_ops
+    cand_pm1 = orb_ops.descriptors_pm1(lf.desc, cand_valid)
+    kp_pm1 = orb_ops.descriptors_pm1(frame.desc, frame.valid)
+    res = matcher.match_candidates(
+        uv_proj, cand_valid, cand_pm1, lf.level, lf.angle, radius,
+        frame.uv, frame.valid, kp_pm1, frame.level, frame.angle,
+        th_hamming=matcher.TH_HIGH, level_slack=1, use_rotation=True)
+
+    matched = res.point_idx >= 0
+    cand_row = jnp.where(matched, res.point_idx, 0)
+    pw = last_depthpts_w[cand_row]
+    obs = optimizer.PoseObs(
+        pw=jnp.where(matched[:, None], pw, 0.0),
+        uv=frame.uv,
+        ur=frame.ur,
+        inv_sigma2=_inv_sigma2(frame.level, sf),
+        valid=matched,
+    )
+    T, inl, n_inl = optimizer.pose_optimization(T_pred, obs, K, cam.bf)
+    # Map-point association carried to current frame (temporal points get -1).
+    new_assoc = jnp.where(inl & matched, last.assoc[cand_row], -1)
+    return T, new_assoc, n_inl, res.n_matches
+
+
+@partial(jax.jit, static_argnums=(3,))
+def track_local_map(arena: ma.MapArena, frame: Frame, T: jnp.ndarray,
+                    cfg: SlamConfig, assoc: jnp.ndarray):
+    """Refine pose against the local map (TrackLocalMap, Tracking.cc:
+    1259-1303 + SearchLocalPoints 1472-1522).
+
+    Local candidates = top-LOCAL_POINT_CAP valid points passing the frustum
+    test at pose T; already-matched keypoints keep their motion-model match.
+    """
+    cam = cfg.camera
+    K = _K(cfg)
+    sf = float(cfg.orb.scale_factor)
+    sfs = extractor.scale_factors(cfg.orb)
+
+    uv_p, level_p, radius_p, vis = matcher.project_for_search(
+        arena.pt_pos, arena.pt_valid, T, K, (cam.width, cam.height), sfs,
+        pt_max_dist=arena.pt_max_dist, pt_normal=arena.pt_normal,
+        base_radius=4.0)
+    # Budgeted candidate set: prefer high-observation points.
+    score = jnp.where(vis, 1 + arena.pt_n_obs, 0)
+    _, cand_ids = jax.lax.top_k(score, LOCAL_POINT_CAP)
+    cvalid = vis[cand_ids]
+
+    from gdslam_tpu.ops import orb as orb_ops
+    cand_pm1 = orb_ops.descriptors_pm1(arena.pt_desc[cand_ids], cvalid)
+    kp_free = frame.valid & (assoc < 0)
+    kp_pm1 = orb_ops.descriptors_pm1(frame.desc, kp_free)
+    # angles unknown for map points -> disable rotation check here
+    res = matcher.match_candidates(
+        uv_p[cand_ids], cvalid, cand_pm1, level_p[cand_ids],
+        jnp.zeros(LOCAL_POINT_CAP), radius_p[cand_ids],
+        frame.uv, kp_free, kp_pm1, frame.level, frame.angle,
+        th_hamming=matcher.TH_HIGH, level_slack=1, use_rotation=False,
+        nn_ratio=0.8)
+    new_match = res.point_idx >= 0
+    merged_assoc = jnp.where(new_match,
+                             cand_ids[jnp.where(new_match, res.point_idx, 0)]
+                             .astype(jnp.int32),
+                             assoc)
+    matched = merged_assoc >= 0
+    pw = arena.pt_pos[jnp.where(matched, merged_assoc, 0)]
+    obs = optimizer.PoseObs(
+        pw=jnp.where(matched[:, None], pw, 0.0),
+        uv=frame.uv, ur=frame.ur,
+        inv_sigma2=_inv_sigma2(frame.level, sf),
+        valid=matched,
+    )
+    T_opt, inl, n_inl = optimizer.pose_optimization(T, obs, K, cam.bf)
+    final_assoc = jnp.where(inl & matched, merged_assoc, -1)
+    # visibility bookkeeping (MapPoint::IncreaseVisible/Found)
+    vis_idx = jnp.where(vis, jnp.arange(arena.pmax), arena.pmax - 1)
+    arena = arena._replace(
+        pt_visible=arena.pt_visible.at[vis_idx].add(vis.astype(jnp.int32)))
+    fnd = final_assoc >= 0
+    arena = arena._replace(
+        pt_found=arena.pt_found.at[
+            jnp.where(fnd, final_assoc, arena.pmax - 1)].add(fnd.astype(jnp.int32)))
+    return arena, T_opt, final_assoc, n_inl
+
+
+# ----------------------------------------------------------------------------
+# Host state machine
+# ----------------------------------------------------------------------------
+
+class Tracking:
+    """Host-side tracker mirroring the reference Tracking state machine."""
+
+    def __init__(self, cfg: SlamConfig, kmax: int = 512, pmax: int = 65536):
+        self.cfg = cfg
+        self.arena = ma.new_arena(kmax, pmax, cfg.orb.n_features)
+        self.state = TrackState.NO_IMAGES_YET
+        self.last: Optional[FrameState] = None
+        self.velocity: Optional[jnp.ndarray] = None
+        self.ref_kf: int = 0
+        self.ref_kf_matches: int = 0
+        self.frames_since_kf: int = 0
+        self.frame_id: int = 0
+        # per-frame trajectory records: (timestamp, ref_kf, T_cr, lost)
+        self.records: list = []
+        self.n_inliers: int = 0
+
+    # -- helpers -------------------------------------------------------------
+    def _world_points_for_last(self) -> jnp.ndarray:
+        """[N, 3] world position per last-frame keypoint: map point if
+        associated, else backprojected depth (temporal VO points)."""
+        lf = self.last.frame
+        pc = cam_ops.backproject(lf.uv, lf.depth, self.cfg.camera)
+        pw_depth = lie.se3_apply(lie.se3_inverse(self.last.T_cw), pc)
+        has_pt = self.last.assoc >= 0
+        pt_rows = jnp.where(has_pt, self.last.assoc, 0)
+        return jnp.where(has_pt[:, None], self.arena.pt_pos[pt_rows], pw_depth)
+
+    def process(self, gray: jnp.ndarray, depth: jnp.ndarray,
+                mask: jnp.ndarray, timestamp: float) -> np.ndarray:
+        """Track one RGB-D frame. Returns the 4x4 T_cw estimate."""
+        cfg = self.cfg
+        cam = cfg.camera
+        feats = extractor.extract(gray, cfg.orb, cam.height, cam.width)
+        frame = build_frame(feats, depth, mask, cam)
+
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            n_valid = int(jnp.sum(frame.valid))
+            if n_valid >= cfg.tracking.min_init_features:
+                T0 = jnp.eye(4)
+                self.arena, assoc = stereo_initialize(self.arena, frame, T0, cfg)
+                self.last = FrameState(frame=frame, T_cw=T0, assoc=assoc)
+                self.state = TrackState.OK
+                self.ref_kf = 0
+                self.ref_kf_matches = int(ref_tracked_points(self.arena, 0, 2))
+                self.frames_since_kf = 0
+                self._record(timestamp, T0, lost=False)
+            else:
+                self.state = TrackState.NOT_INITIALIZED
+                self._record(timestamp, jnp.eye(4), lost=True)
+            self.frame_id += 1
+            return np.asarray(jnp.eye(4))
+
+        # --- normal tracking ---
+        T_pred = (self.velocity @ self.last.T_cw
+                  if self.velocity is not None else self.last.T_cw)
+        pts_w = self._world_points_for_last()
+        T, assoc, n_inl, n_match = track_motion_model(
+            self.last, pts_w, frame, T_pred, cfg)
+        ok = int(n_inl) >= 10
+        if not ok:
+            # retry with a wider window from the last pose
+            # (reference falls back to 2x radius, Tracking.cc:1219)
+            T, assoc, n_inl, n_match = track_motion_model(
+                self.last, pts_w, frame, self.last.T_cw, cfg, radius_px=30.0)
+            ok = int(n_inl) >= 10
+
+        if ok:
+            self.arena, T, assoc, n_inl = track_local_map(
+                self.arena, frame, T, cfg, assoc)
+            ok = int(n_inl) >= 30
+
+        if not ok:
+            self.state = TrackState.LOST
+            self._record(timestamp, self.last.T_cw, lost=True)
+            self.frame_id += 1
+            return np.asarray(self.last.T_cw)
+
+        self.n_inliers = int(n_inl)
+        # velocity update (Tracking.cc:569-577)
+        self.velocity = T @ lie.se3_inverse(self.last.T_cw)
+        self.last = FrameState(frame=frame, T_cw=T, assoc=assoc)
+        self.state = TrackState.OK
+        self.frames_since_kf += 1
+        self._record(timestamp, T, lost=False)
+
+        if self._need_keyframe(frame, assoc, int(n_inl)):
+            assoc = fuse_associate(self.arena, frame, T, assoc, cfg)
+            self.arena, assoc = insert_keyframe(
+                self.arena, frame, T, assoc, jnp.asarray(timestamp), cfg)
+            self.arena = cull_points(self.arena)
+            self.last = FrameState(frame=frame, T_cw=T, assoc=assoc)
+            self.ref_kf = int(self.arena.n_kf) - 1
+            min_obs = 3 if int(self.arena.n_kf) > 2 else 2
+            self.ref_kf_matches = int(ref_tracked_points(
+                self.arena, self.ref_kf, min_obs))
+            self.frames_since_kf = 0
+        self.frame_id += 1
+        return np.asarray(T)
+
+    def _need_keyframe(self, frame: Frame, assoc: jnp.ndarray, n_inl: int) -> bool:
+        """NeedNewKeyFrame rules for RGB-D (Tracking.cc:1306-1390)."""
+        cfg = self.cfg
+        if int(self.arena.n_kf) >= self.arena.kmax - 1:
+            return False
+        cam = cfg.camera
+        th_depth_m = cam.bf * cam.th_depth / cam.fx
+        close_tracked = int(jnp.sum((assoc >= 0) & (frame.depth > 0)
+                                    & (frame.depth < th_depth_m)))
+        close_untracked = int(jnp.sum((assoc < 0) & frame.valid & (frame.depth > 0)
+                                      & (frame.depth < th_depth_m)))
+        need_close = close_tracked < 100 and close_untracked > 70
+        c1a = self.frames_since_kf >= cam.fps           # mMaxFrames
+        c2 = (n_inl < 0.75 * max(self.ref_kf_matches, 1) or need_close) \
+            and n_inl > 15
+        return c2 or (c1a and n_inl > 15)
+
+    def _record(self, timestamp, T_cw, lost: bool):
+        T_ref = self.arena.kf_pose[self.ref_kf]
+        T_cr = np.asarray(T_cw @ lie.se3_inverse(T_ref))
+        self.records.append((float(timestamp), self.ref_kf, T_cr, lost))
+
+    # -- trajectory export ---------------------------------------------------
+    def camera_trajectory(self) -> list[tuple[float, np.ndarray]]:
+        """(timestamp, T_wc) per frame, recomputed through reference
+        keyframes (System::SaveTrajectoryTUM, System.cc:418-476)."""
+        out = []
+        kf_pose = np.asarray(self.arena.kf_pose)
+        for ts, ref, T_cr, lost in self.records:
+            if lost:
+                continue
+            T_cw = T_cr @ kf_pose[ref]
+            out.append((ts, np.asarray(lie.se3_inverse(jnp.asarray(T_cw)))))
+        return out
+
+    def keyframe_trajectory(self) -> list[tuple[float, np.ndarray]]:
+        n = int(self.arena.n_kf)
+        poses = np.asarray(self.arena.kf_pose[:n])
+        times = np.asarray(self.arena.kf_time[:n])
+        valid = np.asarray(self.arena.kf_valid[:n])
+        return [(float(times[i]), np.asarray(lie.se3_inverse(jnp.asarray(poses[i]))))
+                for i in range(n) if valid[i]]
