@@ -1,0 +1,264 @@
+"""GeoMaskMaker: dense-scene-flow dynamic-object masking (the GD novelty).
+
+Re-design of the reference GeoMaskMaker (include/GeoMaskMaker.h,
+src/GeoMaskMaker.cc), implementing Alcantarilla et al. 2012 adapted to
+RGB-D: pair frame t with frame t-5 (5-slot ring buffer, GeoMaskMaker.h:55,
+cc:409-429), estimate their relative pose from feature matches
+(GetRt, cc:77-156), compute dense optical flow (GetFlow, cc:158-166), and
+flag pixels whose flow-warped 3D position disagrees with the rigid-motion
+prediction by a large Mahalanobis distance (GetNoGMMmask, cc:167-326):
+
+    d(p)      = X_cur(p + flow(p)) - (R * X_ref(p) + T)
+    Sigma(p)  = J S J^T,  S = diag(sig_px^2 x4, depth_var(z_ref),
+                                   depth_var(z_cur))
+    depth_var = ((sigma/f) z^2)^2       (depth2std, cc:1386-1391, sigma=0.5)
+    m(p)      = sqrt(d^T Sigma^-1 d)
+
+then min-max-normalize m to [0,255] and threshold at 20 (static if below;
+cc:276-326 — the masked Otsu scan the reference computes but discards is
+available behind `use_otsu`). Depth gates 0 < z <= 3.5 (cc:229) and
+depth-edge rejection (cc:198-199) are applied; frames with <20 pose-matches
+degrade to an all-ones mask (cc:145-148), as do the first 5 frames
+(cc:171-175).
+
+The reference's per-pixel 640x480 C++ loop (its hottest code) becomes one
+fused elementwise XLA program; the 3x3 covariance inverse is closed-form.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gdslam_tpu.backend import solvers
+from gdslam_tpu.config import SlamConfig
+from gdslam_tpu.core import camera as cam_ops
+from gdslam_tpu.core import lie
+from gdslam_tpu.frontend import extractor
+from gdslam_tpu.ops import edges as edge_ops
+from gdslam_tpu.ops import flow as flow_ops
+from gdslam_tpu.ops import hamming, image as image_ops
+from gdslam_tpu.ops import orb as orb_ops
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@partial(jax.jit, static_argnums=(4,))
+def relative_pose(ref_gray, ref_depth, cur_gray, cur_depth, cfg: SlamConfig,
+                  key=None):
+    """GetRt (GeoMaskMaker.cc:77-156): ORB features on both frames, Hamming
+    best matches, robust relative pose. With RGB-D depth on both sides the
+    PnP RANSAC becomes a closed-form 3D-3D RANSAC battery (solvers.py).
+    Returns (T_cur_ref [4,4], n_inliers)."""
+    cam = cfg.camera
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    A = extractor.extract(ref_gray, cfg.orb, cam.height, cam.width)
+    B = extractor.extract(cur_gray, cfg.orb, cam.height, cam.width)
+
+    def kp_depth(depth, uv):
+        u = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, cam.width - 1)
+        v = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, cam.height - 1)
+        return depth[v, u]
+
+    zA = kp_depth(ref_depth, A.uv)
+    zB = kp_depth(cur_depth, B.uv)
+    D = hamming.hamming_matrix(orb_ops.descriptors_pm1(A.desc, A.valid),
+                               orb_ops.descriptors_pm1(B.desc, B.valid))
+    best, second, idx = hamming.best_two(D, axis=1)
+    good = A.valid & (best < 64) & (zA > 0) & (zB[idx] > 0) & \
+        (best.astype(jnp.float32) < 0.8 * second.astype(jnp.float32))
+    # Keep the top-100 strongest matches (cc:117: top-100 by distance).
+    order = jnp.argsort(jnp.where(good, best, 1 << 20))
+    keep = jnp.zeros_like(good).at[order[:cfg.geomask.pnp_top_matches]].set(True)
+    good = good & keep
+    P = cam_ops.backproject(A.uv, zA, cam)
+    Q = cam_ops.backproject(B.uv[idx], zB[idx], cam)
+    res = solvers.ransac_rigid(P, Q, good, key, (cam.fx, cam.fy, cam.cx, cam.cy),
+                               B.uv[idx], n_iters=300, min_inliers=20,
+                               px_threshold=4.0)
+    return res.T, res.n_inliers
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
+                     cfg: SlamConfig, use_otsu: bool = False,
+                     ref_gray=None, cur_gray=None):
+    """GetNoGMMmask core (GeoMaskMaker.cc:167-326) as one fused program.
+
+    The output mask is indexed by the *first* frame's pixel grid; `flow`
+    maps first-frame pixels into the second frame and T_cur_ref maps
+    first-frame camera coords into the second. The caller passes the
+    CURRENT frame first (the reference indexes by the t-5 frame and applies
+    the mask to frame t, accepting the object-motion misalignment; indexing
+    by the current frame keeps the mask aligned with the frame it culls).
+
+    Returns (mask [H,W] float 1=static, dist_norm [H,W] in [0,255])."""
+    cam = cfg.camera
+    gcfg = cfg.geomask
+    H, W = cam.height, cam.width
+    fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+
+    z_ref = ref_depth
+    uv_cur = jnp.stack([u + flow[..., 0], v + flow[..., 1]], axis=-1)
+    z_cur = image_ops.bilinear_sample(cur_depth, uv_cur)
+    in_img = (uv_cur[..., 0] >= 0) & (uv_cur[..., 0] < W - 1) & \
+             (uv_cur[..., 1] >= 0) & (uv_cur[..., 1] < H - 1)
+
+    # Validity: depth gates (cc:229) + edge rejection on both frames
+    # (cc:198-199, 224-228).
+    ref_edges = edge_ops.depth_edges(ref_depth, cam)
+    cur_edges = edge_ops.depth_edges(cur_depth, cam)
+    cur_edge_at = image_ops.bilinear_sample(cur_edges.astype(jnp.float32),
+                                            uv_cur) > 0.1
+    valid = (z_ref > 0) & (z_ref <= gcfg.max_depth) & \
+            (z_cur > 0) & (z_cur <= gcfg.max_depth) & \
+            in_img & ~ref_edges & ~cur_edge_at
+    if ref_gray is not None and cur_gray is not None:
+        # Flow-quality gate: pixels whose warp is photometrically
+        # inconsistent have unreliable flow; a wrong-flow Mahalanobis value
+        # would otherwise dominate the normalization.
+        warped = image_ops.bilinear_sample(cur_gray, uv_cur)
+        valid = valid & (jnp.abs(warped - ref_gray) < 30.0)
+
+    # 3D residual d = X_cur - (R X_ref + T)
+    R, T = T_cur_ref[:3, :3], T_cur_ref[:3, 3]
+    X_ref = cam_ops.backproject(jnp.stack([u, v], -1), z_ref, cam)
+    X_cur = cam_ops.backproject(uv_cur, z_cur, cam)
+    X_pred = jnp.einsum("ij,hwj->hwi", R, X_ref, precision=_PREC) + T
+    d = X_cur - X_pred
+
+    # Jacobians wrt the 6 measurements (u_c, v_c, z_c, u_r, v_r, z_r).
+    def backproj_jac(uv, z):
+        zx = jnp.stack([z / fx, jnp.zeros_like(z), (uv[..., 0] - cx) / fx], -1)
+        zy = jnp.stack([jnp.zeros_like(z), z / fy, (uv[..., 1] - cy) / fy], -1)
+        zz = jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z),
+                        jnp.ones_like(z)], -1)
+        return jnp.stack([zx, zy, zz], axis=-1)  # [..., 3 out, 3 in]
+
+    J_cur = backproj_jac(uv_cur, z_cur)
+    J_ref = jnp.einsum("ij,hwjk->hwik", R, backproj_jac(
+        jnp.stack([u, v], -1), z_ref), precision=_PREC)
+
+    sigma = gcfg.depth_sigma
+    f_mean = 0.5 * (fx + fy)
+    var_zc = ((sigma / f_mean) * z_cur * z_cur) ** 2   # depth2std^2 (cc:1386)
+    var_zr = ((sigma / f_mean) * z_ref * z_ref) ** 2
+    sig_px = 1.0
+    # Sigma = J_c S_c J_c^T + J_r S_r J_r^T  (block-diagonal S)
+    def weighted_outer(J, s):
+        # J: [..., 3, 3 inputs], s: [..., 3] variances
+        return jnp.einsum("hwik,hwk,hwjk->hwij", J, s, J, precision=_PREC)
+
+    s_cur = jnp.stack([jnp.full_like(z_cur, sig_px),
+                       jnp.full_like(z_cur, sig_px), var_zc], -1)
+    s_ref = jnp.stack([jnp.full_like(z_ref, sig_px),
+                       jnp.full_like(z_ref, sig_px), var_zr], -1)
+    Sig = weighted_outer(J_cur, s_cur) + weighted_outer(J_ref, s_ref)
+    Sig = Sig + 1e-9 * jnp.eye(3)
+
+    # Closed-form 3x3 inverse via adjugate.
+    a, b_, c = Sig[..., 0, 0], Sig[..., 0, 1], Sig[..., 0, 2]
+    e, f_, i = Sig[..., 1, 1], Sig[..., 1, 2], Sig[..., 2, 2]
+    det = a * (e * i - f_ * f_) - b_ * (b_ * i - f_ * c) + c * (b_ * f_ - e * c)
+    det = jnp.where(jnp.abs(det) > 1e-18, det, 1e-18)
+    i00 = (e * i - f_ * f_) / det
+    i01 = (c * f_ - b_ * i) / det
+    i02 = (b_ * f_ - c * e) / det
+    i11 = (a * i - c * c) / det
+    i12 = (b_ * c - a * f_) / det
+    i22 = (a * e - b_ * b_) / det
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    m2 = (dx * (i00 * dx + i01 * dy + i02 * dz)
+          + dy * (i01 * dx + i11 * dy + i12 * dz)
+          + dz * (i02 * dx + i12 * dy + i22 * dz))
+    m = jnp.sqrt(jnp.maximum(m2, 0.0))
+    m = jnp.where(valid, m, 0.0)
+
+    # Normalize over valid pixels -> [0, 255]. The reference min-max
+    # normalizes (cc:276-277); a strict max is fragile (one bad-flow pixel
+    # rescales the whole map), so the upper bound is the 99.5th percentile
+    # of valid values, clipped — same intent, outlier-robust.
+    m_min = jnp.min(jnp.where(valid, m, jnp.inf))
+    m_min = jnp.where(jnp.isfinite(m_min), m_min, 0.0)
+    m_sorted = jnp.sort(jnp.where(valid, m, -1.0).reshape(-1))
+    n_valid = jnp.sum(valid)
+    hi_idx = m_sorted.shape[0] - 1 - (n_valid * 5) // 1000
+    m_max = jnp.maximum(m_sorted[jnp.maximum(hi_idx, 0)], m_min + 1e-6)
+    dist = jnp.clip((m - m_min) / (m_max - m_min) * 255.0, 0.0, 255.0)
+    dist = jnp.where(valid, dist, 0.0)
+
+    if use_otsu:
+        thr = _otsu_threshold(dist, valid)
+    else:
+        thr = gcfg.mahala_threshold          # fixed 20 (cc:278-326)
+    # Two gates: the reference's normalized threshold, plus an absolute
+    # Mahalanobis floor (in sigma units). Normalization alone flags the top
+    # of the *noise* distribution on an all-static scene (the min-max
+    # stretch guarantees large normalized values even when every raw
+    # distance is statistically insignificant).
+    dynamic = valid & (dist >= thr) & (m >= 15.0)
+    # Morphological opening (erode 5 then dilate 11) removes isolated
+    # bad-flow false positives and closes the detected blob — the role the
+    # reference's downstream DepthRegionGrowing + dilation plays
+    # (Geometry.cc:415-450).
+    from gdslam_tpu.frontend.frame import dilate_mask, erode_mask
+    dynamic = dilate_mask(erode_mask(dynamic, 5), 11)
+    geo_static = 1.0 - dynamic.astype(jnp.float32)
+    return jnp.minimum(geo_static, sem_mask), dist
+
+
+def _otsu_threshold(dist: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Masked Otsu scan over a 256-bin histogram (the reference computes this
+    at cc:283-314 then discards it; kept behind the use_otsu flag)."""
+    bins = jnp.clip(dist.astype(jnp.int32), 0, 255)
+    hist = jnp.zeros(256).at[bins.reshape(-1)].add(valid.reshape(-1).astype(jnp.float32))
+    total = jnp.maximum(jnp.sum(hist), 1.0)
+    p = hist / total
+    omega = jnp.cumsum(p)
+    mu = jnp.cumsum(p * jnp.arange(256))
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    sigma_b = jnp.where(denom > 1e-9, (mu_t * omega - mu) ** 2 / jnp.maximum(denom, 1e-9), 0.0)
+    return jnp.argmax(sigma_b).astype(jnp.float32)
+
+
+class GeoMaskMaker:
+    """Host wrapper with the 5-frame ring buffer (GeoMaskMaker.cc:409-429)."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.ring: list = []          # (gray, depth) device arrays
+        self.frame_count = 0
+        self._key = jax.random.PRNGKey(7)
+
+    def add_new_image(self, gray, depth, sem_mask=None):
+        self.ring.append((gray, depth))
+        if len(self.ring) > self.cfg.geomask.inter_frame_size + 1:
+            self.ring.pop(0)
+        self.frame_count += 1
+
+    def get_mask(self, sem_mask):
+        """Refined static mask [H, W] float (1 = static)."""
+        gcfg = self.cfg.geomask
+        if self.frame_count <= gcfg.inter_frame_size:
+            return sem_mask                       # warm-up: all-pass (cc:171-175)
+        ref_gray, ref_depth = self.ring[0]
+        cur_gray, cur_depth = self.ring[-1]
+        self._key, k = jax.random.split(self._key)
+        # Pose of ref camera in cur coords (cur -> ref direction).
+        T_rc, n_inl = relative_pose(cur_gray, cur_depth, ref_gray, ref_depth,
+                                    self.cfg, k)
+        if int(n_inl) < gcfg.min_matches:         # "small feature match." (cc:145)
+            return sem_mask
+        # 5 pyramid levels (vs OpenCV's 3) to capture the larger inter-frame
+        # object displacements of the t vs t-5 pairing.
+        flow = flow_ops.farneback_flow(cur_gray, ref_gray, levels=5)
+        mask, _ = mahalanobis_mask(cur_depth, ref_depth, flow, T_rc, sem_mask,
+                                   self.cfg, gcfg.use_otsu,
+                                   ref_gray=cur_gray, cur_gray=ref_gray)
+        return mask
