@@ -50,6 +50,15 @@ class System:
         self.tracker = Tracking(settings, kmax=kmax, pmax=pmax)
         self._localization_only = False
         self._geo = None  # lazily-constructed GeoMaskMaker (TrackRGBD_GD)
+        self._vocab = None
+        if vocabulary is not None:
+            from gdslam_tpu.backend import vocabulary as voc_mod
+            from gdslam_tpu.backend.loop_closing import LoopCloser
+            if isinstance(vocabulary, str):
+                self._vocab = voc_mod.load(vocabulary)
+            else:
+                self._vocab = vocabulary
+            self.tracker.loop_closer = LoopCloser(settings, self._vocab, kmax)
 
     # ------------------------------------------------------------------ track
     def track_rgbd(self, rgb: np.ndarray, depth: np.ndarray,

@@ -329,6 +329,9 @@ class Tracking:
         # per-frame trajectory records: (timestamp, ref_kf, T_cr, lost)
         self.records: list = []
         self.n_inliers: int = 0
+        self.mapping_enabled: bool = True   # localization mode toggle
+        self.use_local_ba: bool = True      # LocalMapping's BA stage
+        self.loop_closer = None             # optional LoopCloser (needs vocab)
 
     # -- helpers -------------------------------------------------------------
     def _world_points_for_last(self) -> jnp.ndarray:
@@ -357,7 +360,8 @@ class Tracking:
                 self.last = FrameState(frame=frame, T_cw=T0, assoc=assoc)
                 self.state = TrackState.OK
                 self.ref_kf = 0
-                self.ref_kf_matches = int(ref_tracked_points(self.arena, 0, 2))
+                # with a single keyframe every point has one observation
+                self.ref_kf_matches = int(ref_tracked_points(self.arena, 0, 1))
                 self.frames_since_kf = 0
                 self._record(timestamp, T0, lost=False)
             else:
@@ -386,10 +390,13 @@ class Tracking:
             ok = int(n_inl) >= 30
 
         if not ok:
-            self.state = TrackState.LOST
-            self._record(timestamp, self.last.T_cw, lost=True)
-            self.frame_id += 1
-            return np.asarray(self.last.T_cw)
+            ok, T, assoc, n_inl = self._relocalize(frame)
+            if not ok:
+                self.state = TrackState.LOST
+                self._record(timestamp, self.last.T_cw, lost=True)
+                self.frame_id += 1
+                return np.asarray(self.last.T_cw)
+            self.velocity = None
 
         self.n_inliers = int(n_inl)
         # velocity update (Tracking.cc:569-577)
@@ -399,19 +406,82 @@ class Tracking:
         self.frames_since_kf += 1
         self._record(timestamp, T, lost=False)
 
-        if self._need_keyframe(frame, assoc, int(n_inl)):
+        if self.mapping_enabled and self._need_keyframe(frame, assoc, int(n_inl)):
             assoc = fuse_associate(self.arena, frame, T, assoc, cfg)
             self.arena, assoc = insert_keyframe(
                 self.arena, frame, T, assoc, jnp.asarray(timestamp), cfg)
             self.arena = cull_points(self.arena)
+            if self.use_local_ba and int(self.arena.n_kf) >= 3:
+                from gdslam_tpu.backend import ba
+                self.arena, _ = ba.local_bundle_adjustment(
+                    self.arena, int(self.arena.n_kf) - 1, cfg)
+                # adopt the BA-refined pose for subsequent prediction
+                T = self.arena.kf_pose[int(self.arena.n_kf) - 1]
             self.last = FrameState(frame=frame, T_cw=T, assoc=assoc)
             self.ref_kf = int(self.arena.n_kf) - 1
-            min_obs = 3 if int(self.arena.n_kf) > 2 else 2
+            n_kf = int(self.arena.n_kf)
+            min_obs = 3 if n_kf > 2 else (2 if n_kf == 2 else 1)
             self.ref_kf_matches = int(ref_tracked_points(
                 self.arena, self.ref_kf, min_obs))
             self.frames_since_kf = 0
+            if self.loop_closer is not None:
+                self.arena = self.loop_closer.process_keyframe(
+                    self.arena, self.ref_kf)
         self.frame_id += 1
         return np.asarray(T)
+
+    def _relocalize(self, frame: Frame):
+        """Relocalization (Tracking.cc:1670-1832): BoW candidates from the
+        keyframe database, BoW-guided matching, robust 3D-3D pose (replacing
+        EPnP RANSAC — RGB-D keypoints carry depth), pose optimization with a
+        >=50-inlier acceptance."""
+        if self.loop_closer is None:
+            return False, None, None, 0
+        from gdslam_tpu.backend import keyframe_db as kdb
+        from gdslam_tpu.backend import solvers
+        from gdslam_tpu.backend import vocabulary as voc
+        from gdslam_tpu.backend.loop_closing import _bow_guided_matches
+        lc = self.loop_closer
+        cfg = self.cfg
+        cam = cfg.camera
+        words = voc.transform(frame.desc, lc.vocab.centers, lc.vocab.k,
+                              lc.vocab.levels)
+        words = jnp.where(frame.valid, words, -1)
+        vec = voc.bow_vector(words, words >= 0, lc.vocab.n_leaves)
+        ids, scores, ok_c = kdb.reloc_candidates(lc.db, vec)
+        arena = self.arena
+        for i in range(ids.shape[0]):
+            if not bool(ok_c[i]) or float(scores[i]) <= 0:
+                continue
+            kf = int(ids[i])
+            m_idx, n_m = _bow_guided_matches(
+                frame.desc, frame.valid, words,
+                arena.kf_desc[kf], arena.kf_kp_valid[kf], lc.db.words[kf])
+            if int(n_m) < 15:
+                continue
+            rows = jnp.maximum(m_idx, 0)
+            pt = arena.kf_obs[kf][rows]
+            has_pt = (m_idx >= 0) & (pt >= 0) & (frame.depth > 0)
+            pw = arena.pt_pos[jnp.maximum(pt, 0)]
+            q = cam_ops.backproject(frame.uv, frame.depth, cam)
+            res = solvers.ransac_rigid(
+                pw, q, has_pt, jax.random.PRNGKey(self.frame_id),
+                _K(cfg), frame.uv, n_iters=300, min_inliers=10,
+                px_threshold=5.991 ** 0.5 * 2)
+            if not bool(res.ok):
+                continue
+            matched = has_pt & res.inliers
+            obs = optimizer.PoseObs(
+                pw=jnp.where(matched[:, None], pw, 0.0),
+                uv=frame.uv, ur=frame.ur,
+                inv_sigma2=_inv_sigma2(frame.level, float(cfg.orb.scale_factor)),
+                valid=matched)
+            T, inl, n_inl = optimizer.pose_optimization(
+                res.T, obs, _K(cfg), cam.bf)
+            if int(n_inl) >= 50:
+                assoc = jnp.where(inl & matched, pt, -1)
+                return True, T, assoc, int(n_inl)
+        return False, None, None, 0
 
     def _need_keyframe(self, frame: Frame, assoc: jnp.ndarray, n_inl: int) -> bool:
         """NeedNewKeyFrame rules for RGB-D (Tracking.cc:1306-1390)."""

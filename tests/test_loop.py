@@ -1,0 +1,127 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdslam_tpu.backend import keyframe_db as kdb
+from gdslam_tpu.backend import map_arena as ma
+from gdslam_tpu.backend import pose_graph
+from gdslam_tpu.backend import vocabulary as voc
+from gdslam_tpu.core import lie
+
+
+@pytest.fixture(scope="module")
+def vocab(rng):
+    descs = rng.integers(0, 256, (3000, 32)).astype(np.uint8)
+    return voc.train(descs, k=5, levels=2, iters=5)
+
+
+class TestVocabulary:
+    def test_transform_deterministic(self, vocab, rng):
+        d = jnp.asarray(rng.integers(0, 256, (50, 32)), jnp.uint8)
+        w1 = voc.transform(d, vocab.centers, vocab.k, vocab.levels)
+        w2 = voc.transform(d, vocab.centers, vocab.k, vocab.levels)
+        np.testing.assert_array_equal(w1, w2)
+        assert int(w1.max()) < vocab.n_leaves
+
+    def test_identical_sets_score_one(self, vocab, rng):
+        d = jnp.asarray(rng.integers(0, 256, (100, 32)), jnp.uint8)
+        w = voc.transform(d, vocab.centers, vocab.k, vocab.levels)
+        v = voc.bow_vector(w, jnp.ones(100, bool), vocab.n_leaves)
+        assert abs(float(voc.l1_score(v, v)) - 1.0) < 1e-6
+
+    def test_similar_beats_random(self, vocab, rng):
+        d1 = rng.integers(0, 256, (200, 32)).astype(np.uint8)
+        # d2 = d1 with a few bit flips; d3 = fresh random
+        d2 = d1.copy()
+        d2[:, 0] ^= 1
+        d3 = rng.integers(0, 256, (200, 32)).astype(np.uint8)
+        vs = []
+        for d in (d1, d2, d3):
+            w = voc.transform(jnp.asarray(d), vocab.centers, vocab.k, vocab.levels)
+            vs.append(voc.bow_vector(w, jnp.ones(200, bool), vocab.n_leaves))
+        s_sim = float(voc.l1_score(vs[0], vs[1]))
+        s_rand = float(voc.l1_score(vs[0], vs[2]))
+        assert s_sim > s_rand
+
+    def test_save_load_roundtrip(self, vocab, tmp_path):
+        p = str(tmp_path / "v.npz")
+        voc.save(vocab, p)
+        v2 = voc.load(p)
+        np.testing.assert_array_equal(np.asarray(v2.centers),
+                                      np.asarray(vocab.centers))
+        assert v2.k == vocab.k and v2.levels == vocab.levels
+
+
+class TestKeyframeDB:
+    def test_query_ranks_self_first(self, vocab, rng):
+        db = kdb.new_db(8, 100, vocab.n_leaves)
+        vecs = []
+        for k in range(4):
+            d = jnp.asarray(rng.integers(0, 256, (100, 32)), jnp.uint8)
+            w = voc.transform(d, vocab.centers, vocab.k, vocab.levels)
+            v = voc.bow_vector(w, jnp.ones(100, bool), vocab.n_leaves)
+            vecs.append(v)
+            db = kdb.db_add(db, jnp.asarray(k), v, w)
+        s = kdb.query_scores(db, vecs[2])
+        assert int(jnp.argmax(s)) == 2
+        assert float(s[4]) == -1.0  # empty slot masked
+
+    def test_reloc_candidates_accept_rule(self, vocab, rng):
+        db = kdb.new_db(8, 100, vocab.n_leaves)
+        for k in range(3):
+            d = jnp.asarray(rng.integers(0, 256, (100, 32)), jnp.uint8)
+            w = voc.transform(d, vocab.centers, vocab.k, vocab.levels)
+            v = voc.bow_vector(w, jnp.ones(100, bool), vocab.n_leaves)
+            db = kdb.db_add(db, jnp.asarray(k), v, w)
+        ids, scores, ok = kdb.reloc_candidates(db, db.vectors[1])
+        assert int(ids[0]) == 1
+        assert bool(ok[0])
+
+
+class TestPoseGraph:
+    def test_loop_closure_distributes_drift(self, rng):
+        # A chain of 12 poses returning to the start, with accumulated drift;
+        # a loop edge between last and first should pull the chain closed.
+        K = 16
+        n = 12
+        gt = [np.eye(4)]
+        for k in range(1, n):
+            ang = 2 * np.pi / n
+            xi = jnp.asarray([0.5, 0, 0, 0, ang, 0], jnp.float32)
+            gt.append(np.asarray(lie.se3_exp(xi) @ jnp.asarray(gt[-1])))
+        gt = np.stack(gt + [np.eye(4)] * (K - n))
+        # drifted estimates: inject growing error
+        est = gt.copy()
+        for k in range(1, n):
+            drift = lie.se3_exp(jnp.asarray([0.02 * k, 0.01 * k, 0, 0, 0.01 * k, 0]))
+            est[k] = np.asarray(drift @ jnp.asarray(gt[k]))
+        kf_valid = jnp.asarray([True] * n + [False] * (K - n))
+        parent = jnp.asarray([-1] + list(range(n - 1)) + [-1] * (K - n), jnp.int32)
+        covis = jnp.zeros((K, K), jnp.int32)
+        # loop edge: measurement = GT relative pose between 0 and n-1
+        T_meas = jnp.asarray(gt[n - 1] @ np.linalg.inv(gt[0]))
+        edges = pose_graph.build_edges(
+            jnp.asarray(est), kf_valid, parent, covis,
+            jnp.asarray([n - 1], jnp.int32), jnp.asarray([0], jnp.int32),
+            T_meas[None], jnp.asarray([True]), max_covis_edges=4)
+        out = pose_graph.optimize(jnp.asarray(est), kf_valid, edges, iters=30)
+        # after optimization the loop-edge residual should be tiny
+        r_end = np.asarray(lie.se3_log(
+            jnp.linalg.inv(T_meas) @ (out[n - 1] @ jnp.linalg.inv(out[0]))))
+        r_end_before = np.asarray(lie.se3_log(
+            jnp.linalg.inv(T_meas) @ jnp.asarray(
+                est[n - 1] @ np.linalg.inv(est[0]))))
+        assert np.linalg.norm(r_end) < 0.1 * np.linalg.norm(r_end_before)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_no_edges_is_stable(self):
+        K = 8
+        poses = jnp.tile(jnp.eye(4), (K, 1, 1))
+        edges = pose_graph.build_edges(
+            poses, jnp.ones(K, bool), -jnp.ones(K, jnp.int32),
+            jnp.zeros((K, K), jnp.int32), jnp.zeros(0, jnp.int32),
+            jnp.zeros(0, jnp.int32), jnp.zeros((0, 4, 4)),
+            jnp.zeros(0, bool), max_covis_edges=4)
+        out = pose_graph.optimize(poses, jnp.ones(K, bool), edges, iters=3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(poses), atol=1e-4)
