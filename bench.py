@@ -24,12 +24,14 @@ def main():
 
     cfg = SlamConfig()
     cam = cfg.camera
-    n_warm, n_frames = 8, 60
+    # Warmup must cover every compile path (incl. keyframe insertion + local
+    # BA, which first trigger around frame 11).
+    n_warm, n_frames = 16, 60
 
     frames = [synthetic.render_frame(i, cam, with_dynamic=False)
               for i in range(n_warm + n_frames)]
     ones = jnp.ones((cam.height, cam.width))
-    tracker = Tracking(cfg, kmax=256, pmax=65536)
+    tracker = Tracking(cfg, kmax=256, pmax=65536, pipeline=True)
 
     # Warm-up: triggers all compilations (init, motion model, local map, KF).
     for i in range(n_warm):
@@ -38,6 +40,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_warm, n_warm + n_frames):
         tracker.process(frames[i].gray, frames[i].depth, ones, i / 30.0)
+    tracker.flush()
     jax.block_until_ready(tracker.last.T_cw)
     dt = time.perf_counter() - t0
 

@@ -72,15 +72,27 @@ def _level_candidates(score: jnp.ndarray, h: int, w: int):
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def extract(img: jnp.ndarray, cfg: OrbConfig, height: int, width: int) -> Features:
-    """Run the full ORB pipeline on a grayscale image [H, W] float32."""
+    """Run the full ORB pipeline on a grayscale image [H, W] float32.
+
+    The pyramid/FAST/blur stages run in bfloat16 — they are HBM-bandwidth
+    bound and the 0-255 intensity scale tolerates the precision (descriptor
+    bits are comparisons; FAST thresholds are 7/20).
+    """
+    # f32 throughout: bf16 pyramid quantization (~±0.5 intensity) jitters
+    # FAST corner positions and flips BRIEF comparison bits — measured as a
+    # >10x ATE regression. The pyramid stages are compute-cheap anyway; the
+    # expensive parts (resize, patches, BRIEF taps) are MXU matmuls.
     canvas, shapes = image_ops.build_pyramid(
         img, height, width, cfg.n_levels, cfg.scale_factor)
     blurred = image_ops.gaussian_blur(canvas, 7, 2.0)
     quotas = orb_ops.feature_quotas(cfg.n_features, cfg.n_levels, cfg.scale_factor)
 
-    # Dense FAST scores for both thresholds on all levels at once.
-    score_hi = fast_ops.nms3x3(fast_ops.fast_score(canvas, float(cfg.ini_th_fast)))
-    score_lo = fast_ops.nms3x3(fast_ops.fast_score(canvas, float(cfg.min_th_fast)))
+    # ONE threshold-free FAST strength pass serves both thresholds.
+    strength = fast_ops.fast_strength(canvas)
+    score_hi = fast_ops.nms3x3(
+        jnp.where(strength > float(cfg.ini_th_fast), strength, 0.0))
+    score_lo = fast_ops.nms3x3(
+        jnp.where(strength > float(cfg.min_th_fast), strength, 0.0))
     # Per-cell fallback (ORBextractor.cc:809-815): use low threshold only in
     # cells where the high threshold found nothing.
     H, W = height, width
@@ -98,8 +110,11 @@ def extract(img: jnp.ndarray, cfg: OrbConfig, height: int, width: int) -> Featur
         k = quotas[lv]
         top_s, top_i = jax.lax.top_k(cand_s, k)
         uv_lv = cand_uv[top_i]                       # [k, 2] level coords
-        ang = orb_ops.ic_angle(canvas[lv], uv_lv)
-        desc = orb_ops.brief_descriptors(blurred[lv], uv_lv, ang)
+        # MXU patch extraction; angle from the raw level, bits from blurred.
+        ang = orb_ops.ic_angle_from_patches(
+            orb_ops.extract_patches(canvas[lv], uv_lv))
+        desc = orb_ops.brief_from_patches(
+            orb_ops.extract_patches(blurred[lv], uv_lv), ang)
         sc = float(cfg.scale_factor) ** lv
         all_uv.append(uv_lv * sc)
         all_resp.append(top_s)

@@ -56,25 +56,31 @@ def _arc9_min_strength(d: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(m9, axis=0)
 
 
-def fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """FAST-9/16 corner response. 0 where not a corner.
+def fast_strength(img: jnp.ndarray) -> jnp.ndarray:
+    """Threshold-free FAST-9/16 corner strength: the largest threshold at
+    which the pixel is still a corner (OpenCV cornerScore semantics).
+    <=0 means not a corner at any threshold. Border 3 px zeroed.
 
-    Score = max arc strength (the largest threshold at which the pixel is
-    still a corner) — matching OpenCV's cornerScore semantics used for NMS.
-    Works on [..., H, W]; border 3 px is zeroed.
+    One strength map serves every threshold: score_t = strength * (strength
+    > t) — the extractor's high/low threshold pair reuses this single pass.
     """
     taps = _circle_taps(img)
     center = img[None]
     brighter_strength = _arc9_min_strength(taps - center)   # > t  -> bright corner
     darker_strength = _arc9_min_strength(center - taps)     # < -t -> dark corner
-    score = jnp.maximum(brighter_strength, darker_strength)
-    score = jnp.where(score > threshold, score, 0.0)
+    strength = jnp.maximum(brighter_strength, darker_strength)
     # Zero the 3px border (rolled taps wrap around).
     H, W = img.shape[-2], img.shape[-1]
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     inner = (ys >= 3) & (ys < H - 3) & (xs >= 3) & (xs < W - 3)
-    return jnp.where(inner, score, 0.0)
+    return jnp.where(inner, strength, 0.0)
+
+
+def fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """FAST-9/16 corner response at a threshold. 0 where not a corner."""
+    s = fast_strength(img)
+    return jnp.where(s > threshold, s, 0.0)
 
 
 def fast_corners(img: jnp.ndarray, threshold: float) -> jnp.ndarray:

@@ -72,14 +72,32 @@ def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray,
             + w10 * tap(v0i + 1, u0i) + w11 * tap(v0i + 1, u0i + 1))
 
 
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] 1-D linear-interpolation matrix (pixel-center aligned,
+    cv::resize INTER_LINEAR semantics)."""
+    s = n_in / n_out
+    x = (np.arange(n_out) + 0.5) * s - 0.5
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, n_in - 1)
+    x1 = np.clip(x0 + 1, 0, n_in - 1)
+    f = np.clip(x - x0, 0.0, 1.0)
+    M = np.zeros((n_out, n_in), np.float32)
+    M[np.arange(n_out), x0] += 1.0 - f
+    M[np.arange(n_out), x1] += f
+    return M
+
+
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """cv::resize INTER_LINEAR-compatible resize (pixel-center alignment)."""
+    """cv::resize INTER_LINEAR-compatible resize.
+
+    Implemented as two static interpolation-matrix products (R @ img @ C^T)
+    so it runs on the MXU — a gather-based formulation costs ~2 ms per
+    pyramid level on TPU (measured), the matmul form is microseconds.
+    """
     H, W = img.shape
-    sy, sx = H / out_h, W / out_w
-    v = (jnp.arange(out_h, dtype=img.dtype) + 0.5) * sy - 0.5
-    u = (jnp.arange(out_w, dtype=img.dtype) + 0.5) * sx - 0.5
-    uu, vv = jnp.meshgrid(u, v)
-    return bilinear_sample(img, jnp.stack([uu, vv], axis=-1))
+    R = jnp.asarray(_interp_matrix(H, out_h), img.dtype)
+    C = jnp.asarray(_interp_matrix(W, out_w), img.dtype)
+    return jnp.einsum("oh,hw,pw->op", R, img, C,
+                      preferred_element_type=img.dtype)
 
 
 def pyramid_shapes(height: int, width: int, n_levels: int, scale: float):

@@ -309,14 +309,68 @@ def track_local_map(arena: ma.MapArena, frame: Frame, T: jnp.ndarray,
     return arena, T_opt, final_assoc, n_inl
 
 
+@partial(jax.jit, static_argnums=(7,))
+def track_step(arena: ma.MapArena, last: FrameState, velocity: jnp.ndarray,
+               has_velocity, gray: jnp.ndarray, depth: jnp.ndarray,
+               mask: jnp.ndarray, cfg: SlamConfig, ref_kf):
+    """The fused per-frame program: extraction -> frame build -> motion-model
+    tracking (with wide-radius retry) -> local-map tracking -> velocity and
+    keyframe statistics. One device round-trip per frame; the host reads a
+    handful of scalars to drive the state machine."""
+    cam = cfg.camera
+    feats = extractor.extract(gray, cfg.orb, cam.height, cam.width)
+    frame = build_frame(feats, depth, mask, cam)
+
+    # world points of the last frame (map point if associated, else depth)
+    lf = last.frame
+    pc = cam_ops.backproject(lf.uv, lf.depth, cam)
+    pw_depth = lie.se3_apply(lie.se3_inverse(last.T_cw), pc)
+    has_pt = last.assoc >= 0
+    pt_rows = jnp.where(has_pt, last.assoc, 0)
+    pts_w = jnp.where(has_pt[:, None], arena.pt_pos[pt_rows], pw_depth)
+
+    T_pred = jnp.where(has_velocity, velocity @ last.T_cw, last.T_cw)
+    T1, assoc1, n1, _ = track_motion_model(last, pts_w, frame, T_pred, cfg)
+
+    def wide_retry(_):
+        return track_motion_model(last, pts_w, frame, last.T_cw, cfg,
+                                  radius_px=30.0)
+
+    T1, assoc1, n1, _ = jax.lax.cond(
+        n1 < 10, wide_retry,
+        lambda _: (T1, assoc1, n1, jnp.asarray(0, n1.dtype)), None)
+
+    arena, T2, assoc2, n2 = track_local_map(arena, frame, T1, cfg, assoc1)
+
+    velocity_new = T2 @ lie.se3_inverse(last.T_cw)
+    th_depth_m = cam.bf * cam.th_depth / cam.fx
+    close = frame.valid & (frame.depth > 0) & (frame.depth < th_depth_m)
+    close_tracked = jnp.sum(close & (assoc2 >= 0))
+    close_untracked = jnp.sum(close & (assoc2 < 0))
+    T_cr = T2 @ lie.se3_inverse(arena.kf_pose[ref_kf])
+    stats = jnp.stack([n1, n2, close_tracked, close_untracked])
+    return arena, FrameState(frame=frame, T_cw=T2, assoc=assoc2), \
+        velocity_new, T_cr, stats
+
+
 # ----------------------------------------------------------------------------
 # Host state machine
 # ----------------------------------------------------------------------------
 
 class Tracking:
-    """Host-side tracker mirroring the reference Tracking state machine."""
+    """Host-side tracker mirroring the reference Tracking state machine.
 
-    def __init__(self, cfg: SlamConfig, kmax: int = 512, pmax: int = 65536):
+    With `pipeline=True` the per-frame device program for frame t+1 is
+    dispatched BEFORE frame t's scalar results are read back, hiding the
+    host<->device round-trip latency (~28 ms on the tunneled TPU, measured).
+    Keyframe decisions then lag by one frame — the analogue of the
+    reference's asynchronous LocalMapping thread. Poses are exact in
+    `camera_trajectory()`; the per-call return value is the best estimate at
+    dispatch time.
+    """
+
+    def __init__(self, cfg: SlamConfig, kmax: int = 512, pmax: int = 65536,
+                 pipeline: bool = False):
         self.cfg = cfg
         self.arena = ma.new_arena(kmax, pmax, cfg.orb.n_features)
         self.state = TrackState.NO_IMAGES_YET
@@ -332,6 +386,10 @@ class Tracking:
         self.mapping_enabled: bool = True   # localization mode toggle
         self.use_local_ba: bool = True      # LocalMapping's BA stage
         self.loop_closer = None             # optional LoopCloser (needs vocab)
+        self.pipeline = pipeline
+        self.commit_every = 3               # frames per host sync (pipeline mode)
+        self._pending = []                  # in-flight frames (pipeline mode)
+        self._backup = None                 # pre-adopt state for failure rollback
 
     # -- helpers -------------------------------------------------------------
     def _world_points_for_last(self) -> jnp.ndarray:
@@ -349,10 +407,13 @@ class Tracking:
         """Track one RGB-D frame. Returns the 4x4 T_cw estimate."""
         cfg = self.cfg
         cam = cfg.camera
-        feats = extractor.extract(gray, cfg.orb, cam.height, cam.width)
-        frame = build_frame(feats, depth, mask, cam)
+        gray = jnp.asarray(gray)
+        depth = jnp.asarray(depth)
+        mask = jnp.asarray(mask)
 
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            feats = extractor.extract(gray, cfg.orb, cam.height, cam.width)
+            frame = build_frame(feats, depth, mask, cam)
             n_valid = int(jnp.sum(frame.valid))
             if n_valid >= cfg.tracking.min_init_features:
                 T0 = jnp.eye(4)
@@ -370,43 +431,41 @@ class Tracking:
             self.frame_id += 1
             return np.asarray(jnp.eye(4))
 
-        # --- normal tracking ---
-        T_pred = (self.velocity @ self.last.T_cw
-                  if self.velocity is not None else self.last.T_cw)
-        pts_w = self._world_points_for_last()
-        T, assoc, n_inl, n_match = track_motion_model(
-            self.last, pts_w, frame, T_pred, cfg)
-        ok = int(n_inl) >= 10
-        if not ok:
-            # retry with a wider window from the last pose
-            # (reference falls back to 2x radius, Tracking.cc:1219)
-            T, assoc, n_inl, n_match = track_motion_model(
-                self.last, pts_w, frame, self.last.T_cw, cfg, radius_px=30.0)
-            ok = int(n_inl) >= 10
+        if self.pipeline:
+            return self._process_pipelined(gray, depth, mask, timestamp)
 
+        # --- normal tracking: ONE fused device program + one scalar sync ---
+        has_vel = self.velocity is not None
+        vel = self.velocity if has_vel else jnp.eye(4)
+        arena2, new_last, vel_new, T_cr, stats = track_step(
+            self.arena, self.last, vel, jnp.asarray(has_vel), gray, depth,
+            mask, cfg, jnp.asarray(self.ref_kf))
+        n1, n_inl, close_tracked, close_untracked = (
+            int(x) for x in jax.device_get(stats))
+        ok = n1 >= 10 and n_inl >= 30
         if ok:
-            self.arena, T, assoc, n_inl = track_local_map(
-                self.arena, frame, T, cfg, assoc)
-            ok = int(n_inl) >= 30
-
-        if not ok:
+            self.arena = arena2
+            T, assoc, frame = new_last.T_cw, new_last.assoc, new_last.frame
+        else:
+            frame = new_last.frame
             ok, T, assoc, n_inl = self._relocalize(frame)
             if not ok:
                 self.state = TrackState.LOST
                 self._record(timestamp, self.last.T_cw, lost=True)
                 self.frame_id += 1
                 return np.asarray(self.last.T_cw)
-            self.velocity = None
+            vel_new = None
+            T_cr = T @ lie.se3_inverse(self.arena.kf_pose[self.ref_kf])
 
-        self.n_inliers = int(n_inl)
-        # velocity update (Tracking.cc:569-577)
-        self.velocity = T @ lie.se3_inverse(self.last.T_cw)
+        self.n_inliers = n_inl
+        self.velocity = vel_new
         self.last = FrameState(frame=frame, T_cw=T, assoc=assoc)
         self.state = TrackState.OK
         self.frames_since_kf += 1
-        self._record(timestamp, T, lost=False)
+        self.records.append((float(timestamp), self.ref_kf, T_cr, False))
 
-        if self.mapping_enabled and self._need_keyframe(frame, assoc, int(n_inl)):
+        if self.mapping_enabled and self._need_keyframe_stats(
+                n_inl, close_tracked, close_untracked):
             assoc = fuse_associate(self.arena, frame, T, assoc, cfg)
             self.arena, assoc = insert_keyframe(
                 self.arena, frame, T, assoc, jnp.asarray(timestamp), cfg)
@@ -429,6 +488,100 @@ class Tracking:
                     self.arena, self.ref_kf)
         self.frame_id += 1
         return np.asarray(T)
+
+    # ---------------------------------------------------------- pipelining
+    def _process_pipelined(self, gray, depth, mask, timestamp) -> np.ndarray:
+        """Dispatch the current frame, then commit the previous one while
+        the device works — the host never stalls on the current frame."""
+        cfg = self.cfg
+        prev_backup = (self.arena, self.last, self.velocity)
+        has_vel = self.velocity is not None
+        vel = self.velocity if has_vel else jnp.eye(4)
+        out = track_step(self.arena, self.last, vel, jnp.asarray(has_vel),
+                         gray, depth, mask, cfg, jnp.asarray(self.ref_kf))
+        arena2, new_last, vel_new, T_cr, stats = out
+        # tentative adoption (no sync — these are device futures)
+        self._backup = prev_backup
+        self.arena = arena2
+        self.last = new_last
+        self.velocity = vel_new
+        self._pending.append((stats, T_cr, new_last, timestamp))
+        # Batch the scalar read-backs: ONE device_get round trip per
+        # `commit_every` frames (each round trip costs ~28 ms here).
+        if len(self._pending) >= self.commit_every:
+            self.flush()
+        self.frame_id += 1
+        # Return the in-flight pose as a device array: converting would cost
+        # a ~28 ms tunnel round trip per frame, exactly what pipelining
+        # hides. Exact poses come from camera_trajectory() after flush().
+        return self.last.T_cw
+
+    def _commit(self, pending, stats_host=None):
+        """Run the state machine on a lagged frame's (read) scalars."""
+        stats, T_cr, committed_last, ts = pending
+        if stats_host is None:
+            stats_host = jax.device_get(stats)
+        n1, n_inl, close_tracked, close_untracked = (
+            int(x) for x in stats_host)
+        cfg = self.cfg
+        if not (n1 >= 10 and n_inl >= 30):
+            # the in-flight successor consumed a bad state: roll back
+            ok, T, assoc, n_inl2 = self._relocalize(committed_last.frame)
+            if ok:
+                self.last = FrameState(frame=committed_last.frame, T_cw=T,
+                                       assoc=assoc)
+                self.velocity = None
+                self.state = TrackState.OK
+                self.records.append((float(ts), self.ref_kf,
+                                     T @ lie.se3_inverse(
+                                         self.arena.kf_pose[self.ref_kf]),
+                                     False))
+            else:
+                if self._backup is not None:
+                    self.arena, self.last, self.velocity = self._backup
+                self.state = TrackState.LOST
+                self.records.append((float(ts), self.ref_kf,
+                                     self.last.T_cw @ lie.se3_inverse(
+                                         self.arena.kf_pose[self.ref_kf]),
+                                     True))
+            return False
+        self.n_inliers = n_inl
+        self.state = TrackState.OK
+        self.frames_since_kf += 1
+        self.records.append((float(ts), self.ref_kf, T_cr, False))
+        if self.mapping_enabled and self._need_keyframe_stats(
+                n_inl, close_tracked, close_untracked):
+            frame = committed_last.frame
+            T = committed_last.T_cw
+            assoc = fuse_associate(self.arena, frame, T,
+                                   committed_last.assoc, cfg)
+            self.arena, assoc = insert_keyframe(
+                self.arena, frame, T, assoc, jnp.asarray(ts), cfg)
+            self.arena = cull_points(self.arena)
+            if self.use_local_ba and int(self.arena.n_kf) >= 3:
+                from gdslam_tpu.backend import ba
+                self.arena, _ = ba.local_bundle_adjustment(
+                    self.arena, int(self.arena.n_kf) - 1, cfg)
+            self.ref_kf = int(self.arena.n_kf) - 1
+            n_kf = int(self.arena.n_kf)
+            min_obs = 3 if n_kf > 2 else (2 if n_kf == 2 else 1)
+            self.ref_kf_matches = int(ref_tracked_points(
+                self.arena, self.ref_kf, min_obs))
+            self.frames_since_kf = 0
+            if self.loop_closer is not None:
+                self.arena = self.loop_closer.process_keyframe(
+                    self.arena, self.ref_kf)
+        return True
+
+    def flush(self):
+        """Commit all in-flight frames (call before reading trajectories)."""
+        if not self._pending:
+            return
+        batch, self._pending = self._pending, []
+        all_stats = jax.device_get([p[0] for p in batch])   # one round trip
+        for pend, st in zip(batch, all_stats):
+            if not self._commit(pend, stats_host=st):
+                break   # failure: later in-flight frames consumed bad state
 
     def _relocalize(self, frame: Frame):
         """Relocalization (Tracking.cc:1670-1832): BoW candidates from the
@@ -483,26 +636,21 @@ class Tracking:
                 return True, T, assoc, int(n_inl)
         return False, None, None, 0
 
-    def _need_keyframe(self, frame: Frame, assoc: jnp.ndarray, n_inl: int) -> bool:
-        """NeedNewKeyFrame rules for RGB-D (Tracking.cc:1306-1390)."""
-        cfg = self.cfg
+    def _need_keyframe_stats(self, n_inl: int, close_tracked: int,
+                             close_untracked: int) -> bool:
+        """NeedNewKeyFrame rules for RGB-D (Tracking.cc:1306-1390), fed by
+        the statistics the fused track_step already computed."""
         if int(self.arena.n_kf) >= self.arena.kmax - 1:
             return False
-        cam = cfg.camera
-        th_depth_m = cam.bf * cam.th_depth / cam.fx
-        close_tracked = int(jnp.sum((assoc >= 0) & (frame.depth > 0)
-                                    & (frame.depth < th_depth_m)))
-        close_untracked = int(jnp.sum((assoc < 0) & frame.valid & (frame.depth > 0)
-                                      & (frame.depth < th_depth_m)))
         need_close = close_tracked < 100 and close_untracked > 70
-        c1a = self.frames_since_kf >= cam.fps           # mMaxFrames
+        c1a = self.frames_since_kf >= self.cfg.camera.fps   # mMaxFrames
         c2 = (n_inl < 0.75 * max(self.ref_kf_matches, 1) or need_close) \
             and n_inl > 15
         return c2 or (c1a and n_inl > 15)
 
     def _record(self, timestamp, T_cw, lost: bool):
         T_ref = self.arena.kf_pose[self.ref_kf]
-        T_cr = np.asarray(T_cw @ lie.se3_inverse(T_ref))
+        T_cr = T_cw @ lie.se3_inverse(T_ref)
         self.records.append((float(timestamp), self.ref_kf, T_cr, lost))
 
     # -- trajectory export ---------------------------------------------------
@@ -514,8 +662,8 @@ class Tracking:
         for ts, ref, T_cr, lost in self.records:
             if lost:
                 continue
-            T_cw = T_cr @ kf_pose[ref]
-            out.append((ts, np.asarray(lie.se3_inverse(jnp.asarray(T_cw)))))
+            T_cw = np.asarray(T_cr) @ kf_pose[ref]
+            out.append((ts, np.linalg.inv(T_cw)))
         return out
 
     def keyframe_trajectory(self) -> list[tuple[float, np.ndarray]]:
