@@ -1,0 +1,125 @@
+"""TUM RGB-D driver — the counterpart of Examples/RGB-D/rgbd_tum.cc.
+
+Usage (positional, mirroring rgbd_tum.cc:30-33):
+
+    python -m gdslam_tpu.cli.rgbd_tum VOCAB SETTINGS SEQUENCE_DIR ASSOC \
+        [MASKS_DIR|no_save [OUTPUT_DIR]]
+
+- VOCAB: vocabulary .npz ('default' trains/loads the built-in one; 'none'
+  disables loop closing + relocalization)
+- SETTINGS: OpenCV-YAML camera/ORB settings (e.g. TUM3.yaml)
+- MASKS_DIR: semantic-mask cache directory (the PATH_TO_MASKS protocol,
+  rgbd_tum.cc:99-109; 'no_save' = use the segmenter without caching)
+- OUTPUT_DIR: writes inpainted rgb/depth + refined masks (argc==7 mode,
+  rgbd_tum.cc:165-171) and switches tracking to TrackRGBD_GD
+
+Emits CameraTrajectory.txt / KeyFrameTrajectory.txt (rgbd_tum.cc:203-204)
+and prints median/mean tracking time (rgbd_tum.cc:192-200).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) < 4:
+        print(__doc__)
+        return 1
+    vocab_arg, settings_path, seq_dir, assoc_path = argv[:4]
+    masks_dir = argv[4] if len(argv) > 4 else None
+    output_dir = argv[5] if len(argv) > 5 else None
+
+    import jax.numpy as jnp
+
+    from gdslam_tpu.config import SlamConfig
+    from gdslam_tpu.io.tum import TumSequence
+    from gdslam_tpu.masking.masknet import SegmentDynObject
+    from gdslam_tpu.system.slam import Sensor, System
+
+    cfg = SlamConfig.from_opencv_yaml(settings_path)
+    vocab = None
+    if vocab_arg == "default":
+        from gdslam_tpu.backend import vocabulary as voc
+        vocab = voc.default_vocabulary()
+    elif vocab_arg not in ("none", "-"):
+        from gdslam_tpu.backend import vocabulary as voc
+        vocab = voc.load(vocab_arg)
+
+    seq = TumSequence(seq_dir, assoc_path, cfg.camera.depth_map_factor)
+    print(f"Loaded {len(seq)} frames from {seq_dir}")
+
+    segmenter = SegmentDynObject(None, cache_dir=masks_dir) if masks_dir else None
+    slam = System(cfg, Sensor.RGBD, vocabulary=vocab)
+    use_gd = output_dir is not None
+    if output_dir:
+        for sub in ("rgb", "depth", "mask"):
+            os.makedirs(os.path.join(output_dir, sub), exist_ok=True)
+
+    times = []
+    for i in range(len(seq)):
+        rgb, depth, ts = seq[i]
+        mask = None
+        if segmenter is not None:
+            dyn = segmenter.get_segmentation(rgb, f"{ts:.6f}")
+            mask = 1.0 - dyn                       # static=1 (rgbd_tum.cc:137-150)
+        t0 = time.perf_counter()
+        if use_gd:
+            T, refined = slam.track_rgbd_gd(rgb, depth, mask, ts)
+        else:
+            T = slam.track_rgbd(rgb, depth, mask, ts)
+        times.append(time.perf_counter() - t0)
+        if use_gd:
+            from PIL import Image
+            geo = slam._geo
+            if geo is not None and slam.tracker.last is not None:
+                rgb_o, depth_o = _inpaint_outputs(slam, rgb, depth, refined)
+                name = f"{ts:.6f}.png"
+                Image.fromarray(rgb_o.astype(np.uint8)).save(
+                    os.path.join(output_dir, "rgb", name))
+                Image.fromarray((depth_o * cfg.camera.depth_map_factor)
+                                .astype(np.uint16)).save(
+                    os.path.join(output_dir, "depth", name))
+                Image.fromarray((refined * 255).astype(np.uint8)).save(
+                    os.path.join(output_dir, "mask", name))
+        if i % 50 == 0:
+            print(f"frame {i}/{len(seq)} state={slam.tracking_state.name} "
+                  f"kfs={slam.keyframe_count}")
+
+    slam.shutdown()
+    times_s = sorted(times)
+    print(f"median tracking time: {times_s[len(times_s)//2]:.4f}")
+    print(f"mean tracking time: {sum(times)/len(times):.4f}")
+    slam.save_trajectory_tum("CameraTrajectory.txt")
+    slam.save_keyframe_trajectory_tum("KeyFrameTrajectory.txt")
+    print("trajectory saved!")
+    return 0
+
+
+def _inpaint_outputs(slam, rgb, depth, refined_mask):
+    """Background inpainting of the masked frame (InpaintFrames,
+    Tracking.cc:259)."""
+    import jax.numpy as jnp
+
+    from gdslam_tpu.masking.geometry import Geometry
+    if not hasattr(slam, "_geometry"):
+        slam._geometry = Geometry(slam.cfg)
+    geo = slam._geometry
+    T_cw = jnp.asarray(np.asarray(slam.tracker.last.T_cw))
+    rgb_j = jnp.asarray(rgb)
+    depth_j = jnp.asarray(depth)
+    mask_j = jnp.asarray(refined_mask)
+    rgb_o, depth_o = geo.inpaint_frames(rgb_j, depth_j, mask_j, T_cw)
+    gray = 0.299 * rgb_j[..., 0] + 0.587 * rgb_j[..., 1] + 0.114 * rgb_j[..., 2]
+    geo.update_db(gray, depth_j, mask_j, rgb_j, T_cw,
+                  is_keyframe=slam.tracker.frames_since_kf == 0)
+    return np.asarray(rgb_o), np.asarray(depth_o)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

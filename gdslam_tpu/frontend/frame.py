@@ -60,6 +60,23 @@ def dilate_mask(mask: jnp.ndarray, ksize: int) -> jnp.ndarray:
     return m > 0.5
 
 
+@partial(jax.jit, static_argnums=(4,))
+def build_frame_stereo(feats: Features, ur: jnp.ndarray, kp_depth: jnp.ndarray,
+                       static_mask: jnp.ndarray, cam: CameraConfig) -> Frame:
+    """Assemble a Frame from per-keypoint stereo matches (ur, depth) —
+    the stereo constructor path (Frame.cc:53-154) where depth comes from
+    ComputeStereoMatches instead of a depth map."""
+    H, W = cam.height, cam.width
+    u = jnp.clip(jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0, W - 1)
+    v = jnp.clip(jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0, H - 1)
+    eroded = erode_mask(static_mask, 31)
+    keep = feats.valid & eroded[v, u]
+    uv_und = camera.undistort_points(feats.uv, cam)
+    return Frame(uv=uv_und, uv_raw=feats.uv, ur=ur, depth=kp_depth,
+                 level=feats.level, angle=feats.angle, response=feats.response,
+                 desc=feats.desc, valid=keep)
+
+
 @partial(jax.jit, static_argnums=(3,))
 def build_frame(feats: Features, depth_map: jnp.ndarray, static_mask: jnp.ndarray,
                 cam: CameraConfig) -> Frame:

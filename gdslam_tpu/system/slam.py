@@ -91,6 +91,18 @@ class System:
         T = self.tracker.process(gray, depth, refined, timestamp)
         return T, np.asarray(refined)
 
+    def track_stereo(self, left: np.ndarray, right: np.ndarray,
+                     timestamp: float, mask=None) -> np.ndarray:
+        """TrackStereo (System.cc:104): rectified stereo pair."""
+        gl = _to_gray(left, self.cfg.camera.rgb == 1)
+        gr = _to_gray(right, self.cfg.camera.rgb == 1)
+        return self.tracker.process_stereo(gl, gr, mask, timestamp)
+
+    def track_monocular(self, image: np.ndarray, timestamp: float) -> np.ndarray:
+        """TrackMonocular (System.cc:314)."""
+        gray = _to_gray(image, self.cfg.camera.rgb == 1)
+        return self.tracker.process_mono(gray, timestamp)
+
     # ------------------------------------------------------------------ modes
     def activate_localization_mode(self):
         """System::ActivateLocalizationMode (System.cc:366): stop map growth;

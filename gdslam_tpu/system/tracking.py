@@ -320,7 +320,16 @@ def track_step(arena: ma.MapArena, last: FrameState, velocity: jnp.ndarray,
     cam = cfg.camera
     feats = extractor.extract(gray, cfg.orb, cam.height, cam.width)
     frame = build_frame(feats, depth, mask, cam)
+    return track_frame_core(arena, last, velocity, has_velocity, frame,
+                            cfg, ref_kf)
 
+
+@partial(jax.jit, static_argnums=(5,))
+def track_frame_core(arena: ma.MapArena, last: FrameState,
+                     velocity: jnp.ndarray, has_velocity, frame: Frame,
+                     cfg: SlamConfig, ref_kf):
+    """Frame-level tracking core (shared by RGB-D / stereo / monocular)."""
+    cam = cfg.camera
     # world points of the last frame (map point if associated, else depth)
     lf = last.frame
     pc = cam_ops.backproject(lf.uv, lf.depth, cam)
@@ -415,7 +424,8 @@ class Tracking:
             feats = extractor.extract(gray, cfg.orb, cam.height, cam.width)
             frame = build_frame(feats, depth, mask, cam)
             n_valid = int(jnp.sum(frame.valid))
-            if n_valid >= cfg.tracking.min_init_features:
+            if n_valid >= min(cfg.tracking.min_init_features,
+                              cfg.orb.n_features // 2):
                 T0 = jnp.eye(4)
                 self.arena, assoc = stereo_initialize(self.arena, frame, T0, cfg)
                 self.last = FrameState(frame=frame, T_cw=T0, assoc=assoc)
@@ -488,6 +498,164 @@ class Tracking:
                     self.arena, self.ref_kf)
         self.frame_id += 1
         return np.asarray(T)
+
+    # ------------------------------------------------------- other sensors
+    def process_stereo(self, gray_left: jnp.ndarray, gray_right: jnp.ndarray,
+                       mask, timestamp: float) -> np.ndarray:
+        """Rectified stereo tracking (GrabImageStereo, Tracking.cc:156):
+        extract both views, stereo-match for per-keypoint depth, then run
+        the common frame pipeline."""
+        from gdslam_tpu.frontend.frame import build_frame_stereo
+        from gdslam_tpu.ops import stereo as stereo_ops
+        cfg = self.cfg
+        cam = cfg.camera
+        if mask is None:
+            mask = jnp.ones((cam.height, cam.width))
+        fl = extractor.extract(jnp.asarray(gray_left), cfg.orb, cam.height,
+                               cam.width)
+        frx = extractor.extract(jnp.asarray(gray_right), cfg.orb, cam.height,
+                                cam.width)
+        ur, depth = stereo_ops.stereo_match(
+            fl.uv, fl.level, fl.desc, fl.valid,
+            frx.uv, frx.level, frx.desc, frx.valid,
+            cam.bf, cam.bf / cam.fx,
+            jnp.asarray(gray_left), jnp.asarray(gray_right),
+            float(cfg.orb.scale_factor))
+        frame = build_frame_stereo(fl, ur, depth, jnp.asarray(mask), cam)
+        return self._process_built_frame(frame, timestamp)
+
+    def process_mono(self, gray: jnp.ndarray, timestamp: float) -> np.ndarray:
+        """Monocular tracking (GrabImageMonocular, Tracking.cc:371): two-view
+        H/F bootstrap, then the common pipeline with mono-only observations.
+        New-point triangulation during mapping is limited to the bootstrap
+        pair in this revision (depth-based creation is RGB-D/stereo only)."""
+        from gdslam_tpu.frontend import initializer as ini
+        cfg = self.cfg
+        cam = cfg.camera
+        gray = jnp.asarray(gray)
+        feats = extractor.extract(gray, cfg.orb, cam.height, cam.width)
+        mask1 = jnp.ones((cam.height, cam.width))
+        frame = build_frame(feats, jnp.zeros((cam.height, cam.width)),
+                            mask1, cam)
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            if getattr(self, "_mono_first", None) is None:
+                self._mono_first = (frame, timestamp)
+                self.state = TrackState.NOT_INITIALIZED
+                self.frame_id += 1
+                return np.eye(4)
+            first, ts0 = self._mono_first
+            from gdslam_tpu.ops import hamming, orb as orb_ops
+            D = hamming.hamming_matrix(
+                orb_ops.descriptors_pm1(first.desc, first.valid),
+                orb_ops.descriptors_pm1(frame.desc, frame.valid))
+            best, second, idx = hamming.best_two(D, axis=1)
+            good = (best < 50) & (best.astype(jnp.float32)
+                                  < 0.9 * second.astype(jnp.float32)) & first.valid
+            res = ini.initialize(first.uv, frame.uv[idx], good,
+                                 jax.random.PRNGKey(0), _K(cfg))
+            if not bool(res.ok):
+                self._mono_first = (frame, timestamp)
+                self.frame_id += 1
+                return np.eye(4)
+            self._mono_bootstrap(first, ts0, frame, timestamp, idx, res)
+            self.frame_id += 1
+            return np.asarray(res.T_21)
+        # normal tracking on the mono frame (ur=-1 everywhere)
+        return self._process_built_frame(frame, timestamp)
+
+    def _mono_bootstrap(self, first: Frame, ts0, frame: Frame, ts1, idx, res):
+        """Insert the two bootstrap keyframes + triangulated points."""
+        # Scale: normalize median scene depth to ~2m (mono scale is free;
+        # the reference normalizes by median depth, Tracking.cc mono init).
+        z = res.points[:, 2]
+        med = jnp.median(jnp.where(res.is_good, z, jnp.nan))
+        med = jnp.where(jnp.isfinite(med), med, 1.0)
+        scale = 2.0 / jnp.maximum(med, 1e-6)
+        pts = res.points * scale
+        T21 = res.T_21.at[:3, 3].multiply(scale)
+        # pseudo-depth for the first frame's keypoints = triangulated z
+        depth1 = jnp.where(res.is_good, pts[:, 2], 0.0)
+        f1 = first._replace(depth=depth1, ur=-jnp.ones_like(first.ur))
+        self.arena, assoc1 = stereo_initialize(
+            self.arena, f1, jnp.eye(4), self.cfg)
+        # second keyframe observes the same points via the match index
+        assoc2 = -jnp.ones_like(assoc1)
+        matched = res.is_good & (assoc1 >= 0)
+        assoc2 = assoc2.at[idx].set(jnp.where(matched, assoc1, -1))
+        f2 = frame
+        self.arena, assoc2 = insert_keyframe(
+            self.arena, f2, T21, assoc2, jnp.asarray(ts1), self.cfg)
+        self.last = FrameState(frame=f2, T_cw=T21, assoc=assoc2)
+        self.state = TrackState.OK
+        self.ref_kf = 1
+        self.ref_kf_matches = int(ref_tracked_points(self.arena, 1, 1))
+        self.frames_since_kf = 0
+        self.records.append((float(ts0), 0, jnp.eye(4), False))
+        self.records.append((float(ts1), 1, jnp.eye(4), False))
+
+    def _process_built_frame(self, frame: Frame, timestamp: float) -> np.ndarray:
+        """Common tracking body for a pre-built Frame (stereo/mono paths)."""
+        cfg = self.cfg
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            n_valid = int(jnp.sum(frame.valid))
+            min_init = min(cfg.tracking.min_init_features,
+                           cfg.orb.n_features // 2)
+            if n_valid >= min_init and int(jnp.sum(frame.depth > 0)) > 100:
+                T0 = jnp.eye(4)
+                self.arena, assoc = stereo_initialize(self.arena, frame, T0, cfg)
+                self.last = FrameState(frame=frame, T_cw=T0, assoc=assoc)
+                self.state = TrackState.OK
+                self.ref_kf = 0
+                self.ref_kf_matches = int(ref_tracked_points(self.arena, 0, 1))
+                self.frames_since_kf = 0
+                self._record(timestamp, T0, lost=False)
+            else:
+                self.state = TrackState.NOT_INITIALIZED
+                self._record(timestamp, jnp.eye(4), lost=True)
+            self.frame_id += 1
+            return np.eye(4)
+        has_vel = self.velocity is not None
+        vel = self.velocity if has_vel else jnp.eye(4)
+        arena2, new_last, vel_new, T_cr, stats = track_frame_core(
+            self.arena, self.last, vel, jnp.asarray(has_vel), frame, cfg,
+            jnp.asarray(self.ref_kf))
+        n1, n_inl, close_tracked, close_untracked = (
+            int(x) for x in jax.device_get(stats))
+        ok = n1 >= 10 and n_inl >= 30
+        if not ok:
+            ok, T, assoc, n_inl = self._relocalize(frame)
+            if not ok:
+                self.state = TrackState.LOST
+                self._record(timestamp, self.last.T_cw, lost=True)
+                self.frame_id += 1
+                return np.asarray(self.last.T_cw)
+            self.velocity = None
+            self.last = FrameState(frame=frame, T_cw=T, assoc=assoc)
+        else:
+            self.arena = arena2
+            self.last = new_last
+            self.velocity = vel_new
+        self.state = TrackState.OK
+        self.n_inliers = n_inl
+        self.frames_since_kf += 1
+        self._record(timestamp, self.last.T_cw, lost=False)
+        if self.mapping_enabled and self._need_keyframe_stats(
+                n_inl, close_tracked, close_untracked):
+            assoc = fuse_associate(self.arena, self.last.frame,
+                                   self.last.T_cw, self.last.assoc, cfg)
+            self.arena, assoc = insert_keyframe(
+                self.arena, self.last.frame, self.last.T_cw, assoc,
+                jnp.asarray(timestamp), cfg)
+            self.arena = cull_points(self.arena)
+            self.last = self.last._replace(assoc=assoc)
+            self.ref_kf = int(self.arena.n_kf) - 1
+            n_kf = int(self.arena.n_kf)
+            min_obs = 3 if n_kf > 2 else (2 if n_kf == 2 else 1)
+            self.ref_kf_matches = int(ref_tracked_points(
+                self.arena, self.ref_kf, min_obs))
+            self.frames_since_kf = 0
+        self.frame_id += 1
+        return np.asarray(self.last.T_cw)
 
     # ---------------------------------------------------------- pipelining
     def _process_pipelined(self, gray, depth, mask, timestamp) -> np.ndarray:
