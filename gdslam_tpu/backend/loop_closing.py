@@ -179,6 +179,12 @@ class LoopCloser:
             kf_pose=new_kf_pose,
             pt_pos=jnp.where(arena.pt_valid[:, None], new_pts, arena.pt_pos))
 
+        # Global BA after the loop (RunGlobalBundleAdjustment,
+        # LoopClosing.cc:645-750) — synchronous here; the work is a handful
+        # of device programs rather than a CPU thread.
+        from gdslam_tpu.backend import gba
+        arena = gba.global_bundle_adjustment(arena, self.cfg)
+
         self.last_loop_kf = kf_id
         self.loops.append((kf_id, cand, np.asarray(loop_T[0])))
         self._consistent = {}

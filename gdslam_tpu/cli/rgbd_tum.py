@@ -51,8 +51,17 @@ def main(argv=None):
         from gdslam_tpu.backend import vocabulary as voc
         vocab = voc.load(vocab_arg)
 
-    seq = TumSequence(seq_dir, assoc_path, cfg.camera.depth_map_factor)
-    print(f"Loaded {len(seq)} frames from {seq_dir}")
+    from gdslam_tpu.io import native_loader
+    if native_loader.available():
+        seq = native_loader.NativeTumSequence(
+            seq_dir, assoc_path, cfg.camera.depth_map_factor,
+            cfg.camera.width, cfg.camera.height)
+        frames_iter = iter(seq)
+        print(f"Loaded {len(seq)} frames from {seq_dir} (native prefetch)")
+    else:
+        seq = TumSequence(seq_dir, assoc_path, cfg.camera.depth_map_factor)
+        frames_iter = (seq[i] for i in range(len(seq)))
+        print(f"Loaded {len(seq)} frames from {seq_dir}")
 
     segmenter = SegmentDynObject(None, cache_dir=masks_dir) if masks_dir else None
     slam = System(cfg, Sensor.RGBD, vocabulary=vocab)
@@ -62,8 +71,7 @@ def main(argv=None):
             os.makedirs(os.path.join(output_dir, sub), exist_ok=True)
 
     times = []
-    for i in range(len(seq)):
-        rgb, depth, ts = seq[i]
+    for i, (rgb, depth, ts) in enumerate(frames_iter):
         mask = None
         if segmenter is not None:
             dyn = segmenter.get_segmentation(rgb, f"{ts:.6f}")

@@ -121,11 +121,9 @@ class System:
         self._geo = None
 
     def shutdown(self):
-        """System::Shutdown (System.cc:397-416). No threads to join in the
-        synchronous configuration; async backend workers are drained."""
-        backend = getattr(self.tracker, "backend", None)
-        if backend is not None:
-            backend.drain()
+        """System::Shutdown (System.cc:397-416): drain the in-flight
+        pipeline (the analogue of joining the worker threads)."""
+        self.tracker.flush()
 
     # ------------------------------------------------------------------ state
     @property
@@ -141,6 +139,17 @@ class System:
         return int(jnp.sum(self.tracker.arena.kf_valid))
 
     # ----------------------------------------------------------------- export
+    def save_map(self, path: str):
+        """Serialize the full map state (the reference's SaveMap TODO,
+        System.h:113-115, realized)."""
+        from gdslam_tpu.utils.checkpoint import save_map
+        self.tracker.flush()
+        save_map(self.tracker.arena, path)
+
+    def load_map(self, path: str):
+        from gdslam_tpu.utils.checkpoint import load_map
+        self.tracker.arena = load_map(path)
+
     def save_trajectory_tum(self, path: str):
         traj.save_tum(path, self.tracker.camera_trajectory())
 

@@ -726,6 +726,9 @@ class Tracking:
             self.arena, assoc = insert_keyframe(
                 self.arena, frame, T, assoc, jnp.asarray(ts), cfg)
             self.arena = cull_points(self.arena)
+            if int(self.arena.n_kf) % 8 == 0:
+                from gdslam_tpu.backend import gba
+                self.arena = gba.keyframe_culling(self.arena)
             if self.use_local_ba and int(self.arena.n_kf) >= 3:
                 from gdslam_tpu.backend import ba
                 self.arena, _ = ba.local_bundle_adjustment(
