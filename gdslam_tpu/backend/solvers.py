@@ -119,6 +119,77 @@ def ransac_rigid(P: jnp.ndarray, Q: jnp.ndarray, valid: jnp.ndarray,
                         ok=n_best >= min_inliers)
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def ransac_pnp(pw: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
+               K: tuple, n_iters: int = 300, min_inliers: int = 10,
+               px_threshold: float = 2.45, key=None):
+    """2D-3D pose RANSAC — the PnPsolver/EPnP role (reference PnPsolver.h:73,
+    SetRansacParameters(0.99, 10, 300, 4, 0.5, 5.991) at Tracking.cc:1715)
+    for observations WITHOUT depth (monocular relocalization).
+
+    Minimal solver: 6-point DLT for the projection matrix with known K,
+    R orthonormalized by SVD — all hypotheses vmapped; consensus by
+    reprojection (threshold ~ sqrt(5.991) px). Returns RansacResult.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    fx, fy, cx, cy = K
+    n = pw.shape[0]
+    # normalized image coords
+    xn = jnp.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], 1)
+    probs = valid.astype(jnp.float32) / jnp.maximum(jnp.sum(valid), 1)
+    idx = jax.random.categorical(
+        key, jnp.log(probs + 1e-12)[None].repeat(n_iters * 6, 0)
+    ).reshape(n_iters, 6)
+
+    def solve_one(si):
+        X = pw[si]
+        x = xn[si]
+        rows = []
+        for i in range(6):
+            Xi = jnp.concatenate([X[i], jnp.ones(1)])
+            z4 = jnp.zeros(4)
+            rows.append(jnp.concatenate([Xi, z4, -x[i, 0] * Xi]))
+            rows.append(jnp.concatenate([z4, Xi, -x[i, 1] * Xi]))
+        A = jnp.stack(rows)
+        _, _, Vt = jnp.linalg.svd(A)
+        P = Vt[-1].reshape(3, 4)
+        # fix scale+sign, orthonormalize rotation
+        Rraw = P[:, :3]
+        U, S, Vt2 = jnp.linalg.svd(Rraw)
+        d = jnp.linalg.det(U @ Vt2)
+        R = U @ jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) * jnp.stack(
+            [1.0, 1.0, d])) @ Vt2
+        scale = d * jnp.sum(S) / 3.0
+        t = P[:, 3] / jnp.where(jnp.abs(scale) > 1e-12, scale, 1e-12)
+        # resolve the overall sign by cheirality of the sample
+        z = (jnp.einsum("ij,nj->ni", R, X, precision=_PREC) + t)[:, 2]
+        flip = jnp.sum(z) < 0
+        t = jnp.where(flip, -t, t)
+        R = jnp.where(flip, -R, R)
+        # re-orthonormalize after potential flip (det must stay +1)
+        U3, _, V3 = jnp.linalg.svd(R)
+        R = U3 @ jnp.diag(jnp.stack([1.0, 1.0, jnp.linalg.det(U3 @ V3)])) @ V3
+        return lie.rt_to_mat(R, t)
+
+    Ts = jax.vmap(solve_one)(idx)
+
+    def score_one(T):
+        Pq = lie.se3_apply(T, pw)
+        z = jnp.maximum(Pq[:, 2], 1e-6)
+        u = fx * Pq[:, 0] / z + cx
+        v = fy * Pq[:, 1] / z + cy
+        err = jnp.hypot(u - uv[:, 0], v - uv[:, 1])
+        inl = valid & (err < px_threshold) & (Pq[:, 2] > 1e-6)
+        return jnp.sum(inl), inl
+
+    scores, inls = jax.vmap(score_one)(Ts)
+    best = jnp.argmax(scores)
+    return RansacResult(T=Ts[best], inliers=inls[best],
+                        n_inliers=scores[best],
+                        ok=scores[best] >= min_inliers)
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def ransac_sim3(P: jnp.ndarray, Q: jnp.ndarray, valid: jnp.ndarray,
                 key: jnp.ndarray, n_iters: int = 300, min_inliers: int = 20,
