@@ -250,7 +250,7 @@ def run_local_ba(arena: ma.MapArena, prob: LocalBAProblem, cfg: SlamConfig,
 
 
 def local_bundle_adjustment(arena: ma.MapArena, kf_id, cfg: SlamConfig,
-                            iters1: int = 5, iters2: int = 10):
+                            iters1: int = 5, iters2: int = 5):
     """Host entry: build the problem and run it (one XLA program each)."""
     prob = build_problem(arena, jnp.asarray(kf_id), cfg)
     return run_local_ba(arena, prob, cfg, iters1, iters2)
