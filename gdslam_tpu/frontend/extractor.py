@@ -82,33 +82,44 @@ def extract(img: jnp.ndarray, cfg: OrbConfig, height: int, width: int) -> Featur
     # FAST corner positions and flips BRIEF comparison bits — measured as a
     # >10x ATE regression. The pyramid stages are compute-cheap anyway; the
     # expensive parts (resize, patches, BRIEF taps) are MXU matmuls.
-    canvas, shapes = image_ops.build_pyramid(
+    canvas, _ = image_ops.build_pyramid(
         img, height, width, cfg.n_levels, cfg.scale_factor)
+    # static per-level shapes (the jitted build_pyramid's returned tuple is
+    # traced; recompute from the static args for use in slice bounds)
+    shapes = image_ops.pyramid_shapes(height, width, cfg.n_levels,
+                                      cfg.scale_factor)
     blurred = image_ops.gaussian_blur(canvas, 7, 2.0)
     quotas = orb_ops.feature_quotas(cfg.n_features, cfg.n_levels, cfg.scale_factor)
 
-    # ONE threshold-free FAST strength pass serves both thresholds.
-    strength = fast_ops.fast_strength(canvas)
-    score_hi = fast_ops.nms3x3(
-        jnp.where(strength > float(cfg.ini_th_fast), strength, 0.0))
-    score_lo = fast_ops.nms3x3(
-        jnp.where(strength > float(cfg.min_th_fast), strength, 0.0))
-    # Per-cell fallback (ORBextractor.cc:809-815): use low threshold only in
-    # cells where the high threshold found nothing.
-    H, W = height, width
-    Hc, Wc = H // CELL, W // CELL
-    hi_cells = score_hi[:, :Hc * CELL, :Wc * CELL].reshape(
-        cfg.n_levels, Hc, CELL, Wc, CELL).max(axis=(2, 4))
-    has_hi = jnp.repeat(jnp.repeat(hi_cells > 0, CELL, axis=1), CELL, axis=2)
-    has_hi = jnp.pad(has_hi, ((0, 0), (0, H - Hc * CELL), (0, W - Wc * CELL)))
-    score = jnp.where(has_hi, score_hi, score_lo)
+    # ONE threshold-free FAST strength pass per level, on the EXACT level
+    # shape (the padded [L, H, W] canvas would spend 3.4x the FLOPs/bytes on
+    # zero padding; slicing is free and shapes are static per level).
+    def level_score(img_lv, h, w):
+        strength = fast_ops.fast_strength(img_lv)
+        s_hi = fast_ops.nms3x3(
+            jnp.where(strength > float(cfg.ini_th_fast), strength, 0.0))
+        s_lo = fast_ops.nms3x3(
+            jnp.where(strength > float(cfg.min_th_fast), strength, 0.0))
+        # Per-cell fallback (ORBextractor.cc:809-815): low threshold only in
+        # cells where the high threshold found nothing.
+        Hc, Wc = h // CELL, w // CELL
+        hi_cells = s_hi[:Hc * CELL, :Wc * CELL].reshape(
+            Hc, CELL, Wc, CELL).max(axis=(1, 3))
+        has_hi = jnp.repeat(jnp.repeat(hi_cells > 0, CELL, 0), CELL, 1)
+        has_hi = jnp.pad(has_hi, ((0, h - Hc * CELL), (0, w - Wc * CELL)))
+        return jnp.where(has_hi, s_hi, s_lo)
 
     all_uv, all_resp, all_ang, all_lvl, all_desc = [], [], [], [], []
     for lv in range(cfg.n_levels):
         h, w = shapes[lv]
-        cand_s, cand_uv = _level_candidates(score[lv], h, w)
+        score_lv = level_score(canvas[lv, :h, :w], h, w)
+        cand_s, cand_uv = _level_candidates(score_lv, h, w)
         k = quotas[lv]
-        top_s, top_i = jax.lax.top_k(cand_s, k)
+        k_eff = min(k, cand_s.shape[0])   # tiny levels: fewer cells than quota
+        top_s, top_i = jax.lax.top_k(cand_s, k_eff)
+        if k_eff < k:
+            top_s = jnp.pad(top_s, (0, k - k_eff))
+            top_i = jnp.pad(top_i, (0, k - k_eff))
         uv_lv = cand_uv[top_i]                       # [k, 2] level coords
         # MXU patch extraction; angle from the raw level, bits from blurred.
         ang = orb_ops.ic_angle_from_patches(
