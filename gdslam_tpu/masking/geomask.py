@@ -207,7 +207,7 @@ def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
     # reference's downstream DepthRegionGrowing + dilation plays
     # (Geometry.cc:415-450).
     from gdslam_tpu.frontend.frame import dilate_mask, erode_mask
-    dynamic = dilate_mask(erode_mask(dynamic, 5), 11)
+    dynamic = dilate_mask(erode_mask(dynamic, 5), 7)
     geo_static = 1.0 - dynamic.astype(jnp.float32)
     return jnp.minimum(geo_static, sem_mask), dist
 
@@ -227,17 +227,70 @@ def _otsu_threshold(dist: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(sigma_b).astype(jnp.float32)
 
 
+@partial(jax.jit, static_argnums=(7,))
+def gd_step(cur_gray, cur_depth, sem_mask, ref_gray, ref_depth,
+            ref_feats, key, cfg: SlamConfig):
+    """Fused GD masking program: extract current features ONCE, estimate the
+    cur->ref relative pose from (cached ref features x fresh cur features),
+    run flow + the Mahalanobis map, and fall back to the semantic mask when
+    pose matching is weak (<min_matches, GeoMaskMaker.cc:145-148) — all in
+    one device program with no host round trips. Returns
+    (cur_feats, refined_mask). The reference extracts THREE feature sets per
+    GD frame (GetRt x2 + the frame rebuild); this path extracts one.
+    """
+    cam = cfg.camera
+    feats = extractor.extract(cur_gray, cfg.orb, cam.height, cam.width)
+
+    def kp_depth(depth, uv):
+        u = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, cam.width - 1)
+        v = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, cam.height - 1)
+        return depth[v, u]
+
+    zA = kp_depth(cur_depth, feats.uv)
+    zB = kp_depth(ref_depth, ref_feats.uv)
+    D = hamming.hamming_matrix(orb_ops.descriptors_pm1(feats.desc, feats.valid),
+                               orb_ops.descriptors_pm1(ref_feats.desc,
+                                                       ref_feats.valid))
+    best, second, idx = hamming.best_two(D, axis=1)
+    good = feats.valid & (best < 64) & (zA > 0) & (zB[idx] > 0) & \
+        (best.astype(jnp.float32) < 0.8 * second.astype(jnp.float32))
+    order = jnp.argsort(jnp.where(good, best, 1 << 20))
+    keep = jnp.zeros_like(good).at[
+        order[:cfg.geomask.pnp_top_matches]].set(True)
+    good = good & keep
+    P = cam_ops.backproject(feats.uv, zA, cam)
+    Q = cam_ops.backproject(ref_feats.uv[idx], zB[idx], cam)
+    res = solvers.ransac_rigid(P, Q, good, key,
+                               (cam.fx, cam.fy, cam.cx, cam.cy),
+                               ref_feats.uv[idx], n_iters=300, min_inliers=20,
+                               px_threshold=4.0)
+    # half-resolution finest level: the Mahalanobis consumer samples flow
+    # bilinearly, and full-res warps dominate the GD pipeline (profiled)
+    flow = flow_ops.farneback_flow(cur_gray, ref_gray, levels=5,
+                                   finest_level=1)
+    mask, _ = mahalanobis_mask(cur_depth, ref_depth, flow, res.T, sem_mask,
+                               cfg, cfg.geomask.use_otsu,
+                               ref_gray=cur_gray, cur_gray=ref_gray)
+    pose_ok = res.n_inliers >= cfg.geomask.min_matches
+    refined = jnp.where(pose_ok, mask, sem_mask)
+    return feats, refined
+
+
 class GeoMaskMaker:
-    """Host wrapper with the 5-frame ring buffer (GeoMaskMaker.cc:409-429)."""
+    """Host wrapper with the 5-frame ring buffer (GeoMaskMaker.cc:409-429).
+
+    Ring entries carry pre-extracted features so the relative-pose stage
+    never re-extracts past frames."""
 
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
-        self.ring: list = []          # (gray, depth) device arrays
+        self.ring: list = []          # (gray, depth, feats) device arrays
         self.frame_count = 0
         self._key = jax.random.PRNGKey(7)
+        self.last_feats = None        # current frame's extraction, reusable
 
-    def add_new_image(self, gray, depth, sem_mask=None):
-        self.ring.append((gray, depth))
+    def add_new_image(self, gray, depth, sem_mask=None, feats=None):
+        self.ring.append((gray, depth, feats))
         if len(self.ring) > self.cfg.geomask.inter_frame_size + 1:
             self.ring.pop(0)
         self.frame_count += 1
@@ -245,20 +298,23 @@ class GeoMaskMaker:
     def get_mask(self, sem_mask):
         """Refined static mask [H, W] float (1 = static)."""
         gcfg = self.cfg.geomask
+        cur_gray, cur_depth, _ = self.ring[-1]
         if self.frame_count <= gcfg.inter_frame_size:
-            return sem_mask                       # warm-up: all-pass (cc:171-175)
-        ref_gray, ref_depth = self.ring[0]
-        cur_gray, cur_depth = self.ring[-1]
-        self._key, k = jax.random.split(self._key)
-        # Pose of ref camera in cur coords (cur -> ref direction).
-        T_rc, n_inl = relative_pose(cur_gray, cur_depth, ref_gray, ref_depth,
-                                    self.cfg, k)
-        if int(n_inl) < gcfg.min_matches:         # "small feature match." (cc:145)
+            # warm-up: all-pass (cc:171-175); still extract + cache features
+            cam = self.cfg.camera
+            self.last_feats = extractor.extract(cur_gray, self.cfg.orb,
+                                                cam.height, cam.width)
+            self.ring[-1] = (cur_gray, cur_depth, self.last_feats)
             return sem_mask
-        # 5 pyramid levels (vs OpenCV's 3) to capture the larger inter-frame
-        # object displacements of the t vs t-5 pairing.
-        flow = flow_ops.farneback_flow(cur_gray, ref_gray, levels=5)
-        mask, _ = mahalanobis_mask(cur_depth, ref_depth, flow, T_rc, sem_mask,
-                                   self.cfg, gcfg.use_otsu,
-                                   ref_gray=cur_gray, cur_gray=ref_gray)
-        return mask
+        ref_gray, ref_depth, ref_feats = self.ring[0]
+        if ref_feats is None:
+            cam = self.cfg.camera
+            ref_feats = extractor.extract(ref_gray, self.cfg.orb,
+                                          cam.height, cam.width)
+            self.ring[0] = (ref_gray, ref_depth, ref_feats)
+        self._key, k = jax.random.split(self._key)
+        feats, refined = gd_step(cur_gray, cur_depth, sem_mask,
+                                 ref_gray, ref_depth, ref_feats, k, self.cfg)
+        self.last_feats = feats
+        self.ring[-1] = (cur_gray, cur_depth, feats)
+        return refined

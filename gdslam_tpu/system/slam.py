@@ -78,6 +78,7 @@ class System:
         GeoMaskMaker to refine the semantic mask before tracking
         (Tracking::GrabImageRGBD_GD, Tracking.cc:212-269). Returns
         (T_cw, refined_mask)."""
+        from gdslam_tpu.frontend.frame import build_frame
         from gdslam_tpu.masking.geomask import GeoMaskMaker
         gray = _to_gray(rgb, self.cfg.camera.rgb == 1)
         depth = jnp.asarray(depth, jnp.float32)
@@ -88,7 +89,13 @@ class System:
             self._geo = GeoMaskMaker(self.cfg)
         self._geo.add_new_image(gray, depth, mask)
         refined = self._geo.get_mask(mask)
-        T = self.tracker.process(gray, depth, refined, timestamp)
+        # Reuse the GD stage's extraction: the refined mask culls keypoints
+        # at the Frame level, so no re-extraction is needed (the reference
+        # re-extracts because its masking is image-level, Tracking.cc:252;
+        # SURVEY §7.1 calls out this collapse as behavior-equivalent).
+        frame = build_frame(self._geo.last_feats, depth, refined,
+                            self.cfg.camera)
+        T = self.tracker._process_built_frame(frame, timestamp)
         return T, np.asarray(refined)
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray,

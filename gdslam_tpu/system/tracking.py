@@ -813,7 +813,12 @@ class Tracking:
         the statistics the fused track_step already computed."""
         if int(self.arena.n_kf) >= self.arena.kmax - 1:
             return False
-        need_close = close_tracked < 100 and close_untracked > 70
+        # under heavy dynamic masking close_tracked can sit below 100
+        # permanently; without the reference's busy-LocalMapping backpressure
+        # (c1b) this would insert a keyframe EVERY frame, so enforce a small
+        # minimum gap unless tracking is nearly lost
+        need_close = close_tracked < 100 and close_untracked > 70 and \
+            (self.frames_since_kf >= 3 or n_inl < 40)
         c1a = self.frames_since_kf >= self.cfg.camera.fps   # mMaxFrames
         c2 = (n_inl < 0.75 * max(self.ref_kf_matches, 1) or need_close) \
             and n_inl > 15
