@@ -133,6 +133,15 @@ class LoopCloser:
         """CorrectLoop: recompute the current keyframe's pose through the
         loop constraint, propagate to its covisible group and their points,
         then optimize the essential graph (Optimizer.cc:997-1260)."""
+        # Pre-correction poses: the essential-graph edge measurements must be
+        # taken BEFORE any loop propagation (the reference's NonCorrectedSim3,
+        # LoopClosing.cc:438-470) — otherwise every edge residual is zero and
+        # the optimization is a no-op. Within the rigidly-propagated covisible
+        # group relative poses are unchanged, so pre-poses are valid
+        # measurements for ALL tree/covis edges; the loop edge alone carries
+        # the RANSAC measurement T_cur_cand.
+        pose_pre = arena.kf_pose
+
         # Corrected current pose: T_cw_corrected = T_cur_cand @ T_cand_w.
         T_corr = T_cur_cand @ arena.kf_pose[cand]
         T_old = arena.kf_pose[kf_id]
@@ -159,13 +168,15 @@ class LoopCloser:
             kf_pose=new_poses,
             pt_pos=jnp.where(pt_in_group[:, None], moved, arena.pt_pos))
 
-        # Essential-graph optimization with the loop edge.
+        # Essential-graph optimization: tree/covis edges measured from the
+        # pre-correction poses, the loop edge from the RANSAC transform, the
+        # iteration initialized at the propagated (corrected) poses — drift
+        # distributes from the loop edge through the graph.
         loop_i = jnp.asarray([kf_id], jnp.int32)
         loop_j = jnp.asarray([cand], jnp.int32)
-        loop_T = (arena.kf_pose[kf_id] @ lie.se3_inverse(arena.kf_pose[cand])
-                  )[None]
+        loop_T = T_cur_cand[None]
         edges = pose_graph.build_edges(
-            arena.kf_pose, arena.kf_valid, arena.kf_parent, arena.covis,
+            pose_pre, arena.kf_valid, arena.kf_parent, arena.covis,
             loop_i, loop_j, loop_T, jnp.asarray([True]))
         new_kf_pose = pose_graph.optimize(arena.kf_pose, arena.kf_valid, edges)
 

@@ -154,22 +154,20 @@ def ransac_pnp(pw: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
         A = jnp.stack(rows)
         _, _, Vt = jnp.linalg.svd(A)
         P = Vt[-1].reshape(3, 4)
-        # fix scale+sign, orthonormalize rotation
+        # Resolve the projective sign ambiguity on the RAW 3x4 matrix first
+        # (flipping an orthonormalized R negates it, which is NOT a rotation):
+        # for a physical pose the projective depths w_i = P[2] @ [X;1] of the
+        # sample must be positive, so flip P if their sum is negative.
+        Xh = jnp.concatenate([X, jnp.ones((X.shape[0], 1))], axis=1)
+        w_depth = Xh @ P[2]
+        P = jnp.where(jnp.sum(w_depth) < 0, -P, P)
+        # Orthonormalize once; scale is positive for non-degenerate samples.
         Rraw = P[:, :3]
         U, S, Vt2 = jnp.linalg.svd(Rraw)
         d = jnp.linalg.det(U @ Vt2)
-        R = U @ jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) * jnp.stack(
-            [1.0, 1.0, d])) @ Vt2
-        scale = d * jnp.sum(S) / 3.0
-        t = P[:, 3] / jnp.where(jnp.abs(scale) > 1e-12, scale, 1e-12)
-        # resolve the overall sign by cheirality of the sample
-        z = (jnp.einsum("ij,nj->ni", R, X, precision=_PREC) + t)[:, 2]
-        flip = jnp.sum(z) < 0
-        t = jnp.where(flip, -t, t)
-        R = jnp.where(flip, -R, R)
-        # re-orthonormalize after potential flip (det must stay +1)
-        U3, _, V3 = jnp.linalg.svd(R)
-        R = U3 @ jnp.diag(jnp.stack([1.0, 1.0, jnp.linalg.det(U3 @ V3)])) @ V3
+        R = U @ jnp.diag(jnp.stack([1.0, 1.0, d])) @ Vt2
+        scale = jnp.sum(S) / 3.0
+        t = P[:, 3] / jnp.maximum(scale, 1e-12)
         return lie.rt_to_mat(R, t)
 
     Ts = jax.vmap(solve_one)(idx)

@@ -2,10 +2,20 @@
 
 The reference has no distributed layer (SURVEY §2.3: one process, 3-4 POSIX
 threads); scale-out here is the batched multi-sequence configuration
-(BASELINE config 5): one TUM-style sequence per mesh slot, the whole
-per-frame tracking step sharded with `shard_map` over a 1-D `seq` axis, and
-`jax.lax` collectives only for metric reduction — so the single-sequence
-program compiles collective-free while the batched program rides ICI.
+(BASELINE config 5): one TUM-style sequence per mesh slot, the FULL
+per-frame tracking system — feature extraction, motion-model + local-map
+tracking, the keyframe decision, keyframe/map-point insertion into a
+per-slot map arena, and point culling — as ONE on-device program sharded
+with `shard_map` over a 1-D `seq` axis. `jax.lax` collectives appear only
+for metric reduction, so the single-sequence program compiles
+collective-free while the batched program rides ICI.
+
+Control flow that the host `Tracking` state machine does per frame
+(initialized? tracking ok? need keyframe?) runs on-device with `lax.cond`:
+when each mesh slot holds exactly one sequence (the intended operating
+point) the conditionals stay REAL branches; with more sequences per device
+the step is vmapped and conds lower to selects (both branches execute) —
+correct, uniformly slower, documented.
 """
 
 from __future__ import annotations
@@ -15,99 +25,219 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from gdslam_tpu.backend import optimizer
+from gdslam_tpu.backend import map_arena as ma
 from gdslam_tpu.config import SlamConfig
-from gdslam_tpu.core import camera as cam_ops
-from gdslam_tpu.core import lie
-from gdslam_tpu.frontend import extractor, matcher
-from gdslam_tpu.frontend.frame import build_frame
-from gdslam_tpu.ops import orb as orb_ops
+from gdslam_tpu.frontend import extractor
+from gdslam_tpu.frontend.frame import Frame, build_frame
+from gdslam_tpu.system import tracking as trk
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "seq") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
-    return Mesh(jnp.array(devs).reshape(-1) if False else devs, (axis,))
+    return Mesh(devs, (axis,))
 
 
-class TrackStepState(NamedTuple):
-    """Per-sequence device state threaded through the batched tracker."""
+class SeqState(NamedTuple):
+    """Full per-sequence tracker state, device-resident.
 
-    T_cw: jnp.ndarray       # [4, 4]
-    prev_gray: jnp.ndarray  # [H, W]
-    prev_depth: jnp.ndarray  # [H, W]
+    The batched analogue of the host `Tracking` object: the map arena plus
+    every scalar the keyframe decision needs (Tracking.cc:1306-1390),
+    promoted to device scalars so the whole step is one XLA program."""
+
+    arena: ma.MapArena
+    last_frame: Frame
+    last_T_cw: jnp.ndarray        # [4, 4]
+    last_assoc: jnp.ndarray       # [N] int32
+    velocity: jnp.ndarray         # [4, 4]
+    has_velocity: jnp.ndarray     # bool
+    initialized: jnp.ndarray      # bool
+    lost: jnp.ndarray             # bool
+    ref_kf: jnp.ndarray           # int32
+    ref_kf_matches: jnp.ndarray   # int32
+    frames_since_kf: jnp.ndarray  # int32
+    frame_idx: jnp.ndarray        # int32 (doubles as the device timestamp)
 
 
-def single_track_step(state: TrackStepState, gray: jnp.ndarray,
-                      depth: jnp.ndarray, cfg: SlamConfig,
-                      height: int, width: int):
-    """One frame of visual odometry (extract + match-to-prev + pose GN) —
-    the per-sequence unit that the mesh parallelizes."""
+def _empty_frame(n: int) -> Frame:
+    return Frame(uv=jnp.zeros((n, 2)), uv_raw=jnp.zeros((n, 2)),
+                 ur=-jnp.ones(n), depth=jnp.zeros(n),
+                 level=jnp.zeros(n, jnp.int32), angle=jnp.zeros(n),
+                 response=jnp.zeros(n), desc=jnp.zeros((n, 32), jnp.uint8),
+                 valid=jnp.zeros(n, bool))
+
+
+def init_seq_state(cfg: SlamConfig, kmax: int = 64,
+                   pmax: int = 8192) -> SeqState:
+    n = cfg.orb.n_features
+    return SeqState(
+        arena=ma.new_arena(kmax, pmax, n),
+        last_frame=_empty_frame(n),
+        last_T_cw=jnp.eye(4),
+        last_assoc=-jnp.ones(n, jnp.int32),
+        velocity=jnp.eye(4),
+        has_velocity=jnp.asarray(False),
+        initialized=jnp.asarray(False),
+        lost=jnp.asarray(False),
+        ref_kf=jnp.asarray(0, jnp.int32),
+        ref_kf_matches=jnp.asarray(0, jnp.int32),
+        frames_since_kf=jnp.asarray(0, jnp.int32),
+        frame_idx=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _ref_matches_after_insert(arena: ma.MapArena) -> jnp.ndarray:
+    kf = arena.n_kf - 1
+    min_obs = jnp.where(arena.n_kf > 2, 3, jnp.where(arena.n_kf == 2, 2, 1))
+    return trk.ref_tracked_points(arena, kf, min_obs).astype(jnp.int32)
+
+
+def device_track_step(state: SeqState, gray: jnp.ndarray, depth: jnp.ndarray,
+                      mask: jnp.ndarray, cfg: SlamConfig):
+    """One frame of the FULL tracker as a pure device function.
+
+    Mirrors `Tracking.process` (system/tracking.py) including
+    StereoInitialization, motion-model + local-map tracking
+    (track_frame_core), the RGB-D NeedNewKeyFrame rules, fuse + keyframe
+    insertion + point culling. Relocalization and local BA stay host-side
+    (they are rare, host-arbitrated events in the single-sequence system);
+    a lost slot simply re-tries against its last good frame.
+
+    Returns (new_state, stats [4] int32 = n1, n_inl, n_kf, n_pt).
+    """
     cam = cfg.camera
-    K = (cam.fx, cam.fy, cam.cx, cam.cy)
-    ones = jnp.ones((height, width))
-    prev_feats = extractor.extract(state.prev_gray, cfg.orb, height, width)
-    prev_frame = build_frame(prev_feats, state.prev_depth, ones, cam)
-    feats = extractor.extract(gray, cfg.orb, height, width)
-    frame = build_frame(feats, depth, ones, cam)
+    feats = extractor.extract(gray, cfg.orb, cam.height, cam.width)
+    frame = build_frame(feats, depth, mask, cam)
+    ts = state.frame_idx.astype(jnp.float32)
 
-    # previous-frame keypoints -> world points through the current pose chain
-    pc = cam_ops.backproject(prev_frame.uv, prev_frame.depth, cam)
-    pw = lie.se3_apply(lie.se3_inverse(state.T_cw), pc)
-    cand_valid = prev_frame.valid & (prev_frame.depth > 0)
-    uv_proj, _ = cam_ops.project(lie.se3_apply(state.T_cw, pw), cam)
-    sf = float(cfg.orb.scale_factor)
-    radius = 15.0 * sf ** prev_frame.level.astype(jnp.float32)
-    res = matcher.match_candidates(
-        uv_proj, cand_valid,
-        orb_ops.descriptors_pm1(prev_frame.desc, cand_valid),
-        prev_frame.level, prev_frame.angle, radius,
-        frame.uv, frame.valid,
-        orb_ops.descriptors_pm1(frame.desc, frame.valid),
-        frame.level, frame.angle)
-    matched = res.point_idx >= 0
-    rows = jnp.where(matched, res.point_idx, 0)
-    obs = optimizer.PoseObs(
-        pw=jnp.where(matched[:, None], pw[rows], 0.0),
-        uv=frame.uv, ur=frame.ur,
-        inv_sigma2=1.0 / sf ** (2.0 * frame.level.astype(jnp.float32)),
-        valid=matched)
-    T, inl, n_inl = optimizer.pose_optimization(state.T_cw, obs, K, cam.bf,
-                                                rounds=2, iters=6)
-    new_state = TrackStepState(T_cw=T, prev_gray=gray, prev_depth=depth)
-    return new_state, n_inl
+    def do_init(st: SeqState):
+        n_valid = jnp.sum(frame.valid)
+        ok = (n_valid >= min(cfg.tracking.min_init_features,
+                             cfg.orb.n_features // 2)) & \
+             (jnp.sum(frame.valid & (frame.depth > 0)) >=
+              min(100, cfg.orb.n_features // 4))
+
+        def init(st: SeqState):
+            arena, assoc = trk._insert_keyframe(
+                st.arena, frame, jnp.eye(4),
+                -jnp.ones(frame.uv.shape[0], jnp.int32), ts, cfg,
+                max_depth=1e9)
+            st = st._replace(
+                arena=arena, last_frame=frame, last_T_cw=jnp.eye(4),
+                last_assoc=assoc, initialized=jnp.asarray(True),
+                ref_kf=jnp.asarray(0, jnp.int32),
+                ref_kf_matches=_ref_matches_after_insert(arena),
+                frames_since_kf=jnp.asarray(0, jnp.int32))
+            return st
+
+        st = jax.lax.cond(ok, init, lambda s: s, st)
+        return st, jnp.zeros(2, jnp.int32)
+
+    def do_track(st: SeqState):
+        last = trk.FrameState(frame=st.last_frame, T_cw=st.last_T_cw,
+                              assoc=st.last_assoc)
+        arena, new_last, vel_new, _, stats = trk.track_frame_core(
+            st.arena, last, st.velocity, st.has_velocity, frame, cfg,
+            st.ref_kf)
+        n1, n_inl, close_tracked, close_untracked = (
+            stats[0], stats[1], stats[2], stats[3])
+        ok = (n1 >= 10) & (n_inl >= 30)
+
+        # NeedNewKeyFrame (Tracking.cc:1306-1390; RGB-D rules as in
+        # Tracking._need_keyframe_stats, on-device).
+        fsk = st.frames_since_kf + 1
+        need_close = (close_tracked < 100) & (close_untracked > 70) & \
+            ((fsk >= 3) | (n_inl < 40))
+        c1a = fsk >= jnp.int32(cam.fps)
+        c2 = ((n_inl < 0.75 * jnp.maximum(st.ref_kf_matches, 1)) |
+              need_close) & (n_inl > 15)
+        need_kf = ok & (c2 | (c1a & (n_inl > 15))) & \
+            (arena.n_kf < arena.kmax - 1)
+
+        def adopt(st: SeqState):
+            st = st._replace(arena=arena, last_frame=frame,
+                             last_T_cw=new_last.T_cw,
+                             last_assoc=new_last.assoc, velocity=vel_new,
+                             has_velocity=jnp.asarray(True),
+                             lost=jnp.asarray(False), frames_since_kf=fsk)
+
+            def with_kf(st: SeqState):
+                assoc = trk.fuse_associate(st.arena, frame, new_last.T_cw,
+                                           new_last.assoc, cfg)
+                a2, assoc = trk._insert_keyframe(
+                    st.arena, frame, new_last.T_cw, assoc, ts, cfg)
+                a2 = trk.cull_points(a2)
+                return st._replace(
+                    arena=a2, last_assoc=assoc,
+                    ref_kf=(a2.n_kf - 1).astype(jnp.int32),
+                    ref_kf_matches=_ref_matches_after_insert(a2),
+                    frames_since_kf=jnp.asarray(0, jnp.int32))
+
+            return jax.lax.cond(need_kf, with_kf, lambda s: s, st)
+
+        def mark_lost(st: SeqState):
+            return st._replace(lost=jnp.asarray(True),
+                               has_velocity=jnp.asarray(False))
+
+        st = jax.lax.cond(ok, adopt, mark_lost, st)
+        return st, jnp.stack([n1, n_inl]).astype(jnp.int32)
+
+    state, tstats = jax.lax.cond(state.initialized, do_track, do_init, state)
+    state = state._replace(frame_idx=state.frame_idx + 1)
+    stats = jnp.concatenate([
+        tstats, jnp.stack([state.arena.n_kf,
+                           jnp.minimum(state.arena.n_pt, 1 << 30)]
+                          ).astype(jnp.int32)])
+    return state, stats
 
 
-def batched_track_step(cfg: SlamConfig, height: int, width: int,
-                       mesh: Mesh, axis: str = "seq"):
-    """Build the sharded batched step: [B, ...] arrays sharded over `axis`.
+def batched_track_step(cfg: SlamConfig, height: int, width: int, mesh: Mesh,
+                       axis: str = "seq", kmax: int = 64, pmax: int = 8192,
+                       local_batch: int = 1):
+    """Build the sharded batched full-tracker step.
 
-    Returns a jitted fn (states, grays, depths) -> (states, mean_inliers)
-    where the mean is a cross-device `psum` — the only collective, as per the
-    design (SURVEY §5 'distributed communication backend')."""
+    Returns a jitted fn (states, grays, depths) -> (states, mean_inliers):
+    states is a [B, ...]-leading SeqState pytree sharded over `axis`
+    (B = n_devices * local_batch), mean_inliers a replicated scalar from the
+    only collective, a `psum` (SURVEY §5 'distributed communication
+    backend'). With local_batch == 1 the per-device step keeps its `lax.cond`
+    branches un-vmapped (real branches, no select lowering).
+    """
+    n_dev = mesh.devices.size
+
+    def one(state, gray, depth):
+        masks = jnp.ones((height, width))
+        return device_track_step(state, gray, depth, masks, cfg)
 
     def step(states, grays, depths):
-        def one(state, gray, depth):
-            return single_track_step(state, gray, depth, cfg, height, width)
-        new_states, inls = jax.vmap(one)(states, grays, depths)
+        if local_batch == 1:
+            state1 = jax.tree.map(lambda x: x[0], states)
+            new1, stats = one(state1, grays[0], depths[0])
+            new_states = jax.tree.map(lambda x: x[None], new1)
+            inls = stats[1][None]
+        else:
+            new_states, stats = jax.vmap(one)(states, grays, depths)
+            inls = stats[:, 1]
         total = jax.lax.psum(jnp.sum(inls), axis)
-        count = jax.lax.psum(inls.shape[0], axis)
+        count = n_dev * local_batch
         return new_states, total / count
 
     spec = P(axis)
-    sharded = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(TrackStepState(spec, spec, spec), spec, spec),
-        out_specs=(TrackStepState(spec, spec, spec), P()))
+    # check_vma=False: lax.cond branches mix per-sequence (varying) values
+    # with fresh constants (unvarying), which the VMA checker rejects even
+    # though the program is a correct per-shard computation.
+    sharded = jax.shard_map(step, mesh=mesh,
+                            in_specs=(spec, spec, spec),
+                            out_specs=(spec, P()),
+                            check_vma=False)
     return jax.jit(sharded)
 
 
-def init_states(batch: int, height: int, width: int) -> TrackStepState:
-    return TrackStepState(
-        T_cw=jnp.tile(jnp.eye(4), (batch, 1, 1)),
-        prev_gray=jnp.zeros((batch, height, width)),
-        prev_depth=jnp.zeros((batch, height, width)),
-    )
+def init_states(batch: int, cfg: SlamConfig, kmax: int = 64,
+                pmax: int = 8192) -> SeqState:
+    """[batch]-leading SeqState (tile of the empty per-sequence state)."""
+    tmpl = init_seq_state(cfg, kmax=kmax, pmax=pmax)
+    return jax.tree.map(lambda x: jnp.repeat(x[None], batch, axis=0), tmpl)

@@ -161,11 +161,13 @@ class System:
         System.h:113-115, realized)."""
         from gdslam_tpu.utils.checkpoint import save_map
         self.tracker.flush()
-        save_map(self.tracker.arena, path)
+        save_map(self.tracker.arena, path,
+                 kf_timestamps=self.tracker.kf_timestamps)
 
     def load_map(self, path: str):
-        from gdslam_tpu.utils.checkpoint import load_map
-        self.tracker.arena = load_map(path)
+        from gdslam_tpu.utils.checkpoint import load_map_with_timestamps
+        self.tracker.arena, self.tracker.kf_timestamps = \
+            load_map_with_timestamps(path)
 
     def save_trajectory_tum(self, path: str):
         traj.save_tum(path, self.tracker.camera_trajectory())

@@ -90,6 +90,9 @@ def _insert_keyframe(arena: ma.MapArena, frame: Frame, T_cw: jnp.ndarray,
         jnp.where(eligible, frame.depth, jnp.inf)))
     create = eligible & ((frame.depth < max_depth) | (depth_rank < 100))
     order = jnp.cumsum(create.astype(jnp.int32)) - 1
+    # Capacity guard: without it, slots past pmax silently alias slot pmax-1
+    # through clamp-gathers and corrupt associations on long sequences.
+    create = create & (arena.n_pt + order < arena.pmax)
     slot = jnp.where(create, arena.n_pt + order, 0)
     pc = cam_ops.backproject(frame.uv, frame.depth, cam)
     pw = lie.se3_apply(T_wc, pc)
@@ -115,7 +118,7 @@ def _insert_keyframe(arena: ma.MapArena, frame: Frame, T_cw: jnp.ndarray,
         pt_valid=arena.pt_valid.at[slot].set(
             jnp.where(create, True, arena.pt_valid[slot])),
         pt_ref_kf=scatter(arena.pt_ref_kf, jnp.full_like(slot, kf_id)),
-        n_pt=arena.n_pt + jnp.sum(create),
+        n_pt=jnp.minimum(arena.n_pt + jnp.sum(create), arena.pmax),
     )
     new_assoc = jnp.where(create, slot.astype(jnp.int32), assoc)
     obs_row = jnp.where(frame.valid, new_assoc, -1)
@@ -158,15 +161,16 @@ def fuse_associate(arena: ma.MapArena, frame: Frame, T_cw: jnp.ndarray,
         arena.pt_pos, arena.pt_valid, T_cw, _K(cfg), (cam.width, cam.height),
         sfs, pt_max_dist=arena.pt_max_dist, pt_normal=arena.pt_normal,
         base_radius=6.0)
+    cap = min(LOCAL_POINT_CAP, arena.pmax)
     score = jnp.where(vis, 1 + arena.pt_n_obs, 0)
-    _, cand_ids = jax.lax.top_k(score, LOCAL_POINT_CAP)
+    _, cand_ids = jax.lax.top_k(score, cap)
     cvalid = vis[cand_ids]
     from gdslam_tpu.ops import orb as orb_ops
     kp_free = frame.valid & (assoc < 0)
     res = matcher.match_candidates(
         uv_p[cand_ids], cvalid,
         orb_ops.descriptors_pm1(arena.pt_desc[cand_ids], cvalid),
-        level_p[cand_ids], jnp.zeros(LOCAL_POINT_CAP), radius_p[cand_ids],
+        level_p[cand_ids], jnp.zeros(cap), radius_p[cand_ids],
         frame.uv, kp_free,
         orb_ops.descriptors_pm1(frame.desc, kp_free),
         frame.level, frame.angle,
@@ -268,8 +272,9 @@ def track_local_map(arena: ma.MapArena, frame: Frame, T: jnp.ndarray,
         pt_max_dist=arena.pt_max_dist, pt_normal=arena.pt_normal,
         base_radius=4.0)
     # Budgeted candidate set: prefer high-observation points.
+    cap = min(LOCAL_POINT_CAP, arena.pmax)
     score = jnp.where(vis, 1 + arena.pt_n_obs, 0)
-    _, cand_ids = jax.lax.top_k(score, LOCAL_POINT_CAP)
+    _, cand_ids = jax.lax.top_k(score, cap)
     cvalid = vis[cand_ids]
 
     from gdslam_tpu.ops import orb as orb_ops
@@ -279,7 +284,7 @@ def track_local_map(arena: ma.MapArena, frame: Frame, T: jnp.ndarray,
     # angles unknown for map points -> disable rotation check here
     res = matcher.match_candidates(
         uv_p[cand_ids], cvalid, cand_pm1, level_p[cand_ids],
-        jnp.zeros(LOCAL_POINT_CAP), radius_p[cand_ids],
+        jnp.zeros(cap), radius_p[cand_ids],
         frame.uv, kp_free, kp_pm1, frame.level, frame.angle,
         th_hamming=matcher.TH_HIGH, level_slack=1, use_rotation=False,
         nn_ratio=0.8)
@@ -398,9 +403,27 @@ class Tracking:
         self.pipeline = pipeline
         self.commit_every = 3               # frames per host sync (pipeline mode)
         self._pending = []                  # in-flight frames (pipeline mode)
-        self._backup = None                 # pre-adopt state for failure rollback
+        # Keyframe timestamps live host-side: float32 cannot represent TUM
+        # epoch seconds (~1.3e9, ULP=128 s) so device kf_time would corrupt
+        # KeyFrameTrajectory.txt timestamps (list index == arena kf slot).
+        self.kf_timestamps: list[float] = []
+        self.arena_full_warned = False
 
     # -- helpers -------------------------------------------------------------
+    def _note_keyframe(self, timestamp: float):
+        """Record a keyframe's timestamp host-side (slot == list index) and
+        surface an arena-full warning once (silent slot exhaustion otherwise
+        just stops point creation)."""
+        self.kf_timestamps.append(float(timestamp))
+        if not self.arena_full_warned and \
+                int(self.arena.n_pt) >= self.arena.pmax:
+            import warnings
+            warnings.warn(
+                "gdslam_tpu: map-point arena is full (pmax="
+                f"{self.arena.pmax}); new map points are no longer created. "
+                "Construct Tracking with a larger pmax for long sequences.")
+            self.arena_full_warned = True
+
     def _world_points_for_last(self) -> jnp.ndarray:
         """[N, 3] world position per last-frame keypoint: map point if
         associated, else backprojected depth (temporal VO points)."""
@@ -428,6 +451,7 @@ class Tracking:
                               cfg.orb.n_features // 2):
                 T0 = jnp.eye(4)
                 self.arena, assoc = stereo_initialize(self.arena, frame, T0, cfg)
+                self._note_keyframe(timestamp)
                 self.last = FrameState(frame=frame, T_cw=T0, assoc=assoc)
                 self.state = TrackState.OK
                 self.ref_kf = 0
@@ -479,6 +503,7 @@ class Tracking:
             assoc = fuse_associate(self.arena, frame, T, assoc, cfg)
             self.arena, assoc = insert_keyframe(
                 self.arena, frame, T, assoc, jnp.asarray(timestamp), cfg)
+            self._note_keyframe(timestamp)
             self.arena = cull_points(self.arena)
             if self.use_local_ba and int(self.arena.n_kf) >= 3:
                 from gdslam_tpu.backend import ba
@@ -578,6 +603,7 @@ class Tracking:
         f1 = first._replace(depth=depth1, ur=-jnp.ones_like(first.ur))
         self.arena, assoc1 = stereo_initialize(
             self.arena, f1, jnp.eye(4), self.cfg)
+        self._note_keyframe(ts0)
         # second keyframe observes the same points via the match index
         assoc2 = -jnp.ones_like(assoc1)
         matched = res.is_good & (assoc1 >= 0)
@@ -585,6 +611,7 @@ class Tracking:
         f2 = frame
         self.arena, assoc2 = insert_keyframe(
             self.arena, f2, T21, assoc2, jnp.asarray(ts1), self.cfg)
+        self._note_keyframe(ts1)
         self.last = FrameState(frame=f2, T_cw=T21, assoc=assoc2)
         self.state = TrackState.OK
         self.ref_kf = 1
@@ -603,6 +630,7 @@ class Tracking:
             if n_valid >= min_init and int(jnp.sum(frame.depth > 0)) > 100:
                 T0 = jnp.eye(4)
                 self.arena, assoc = stereo_initialize(self.arena, frame, T0, cfg)
+                self._note_keyframe(timestamp)
                 self.last = FrameState(frame=frame, T_cw=T0, assoc=assoc)
                 self.state = TrackState.OK
                 self.ref_kf = 0
@@ -646,6 +674,7 @@ class Tracking:
             self.arena, assoc = insert_keyframe(
                 self.arena, self.last.frame, self.last.T_cw, assoc,
                 jnp.asarray(timestamp), cfg)
+            self._note_keyframe(timestamp)
             self.arena = cull_points(self.arena)
             self.last = self.last._replace(assoc=assoc)
             self.ref_kf = int(self.arena.n_kf) - 1
@@ -668,12 +697,14 @@ class Tracking:
         out = track_step(self.arena, self.last, vel, jnp.asarray(has_vel),
                          gray, depth, mask, cfg, jnp.asarray(self.ref_kf))
         arena2, new_last, vel_new, T_cr, stats = out
-        # tentative adoption (no sync — these are device futures)
-        self._backup = prev_backup
+        # tentative adoption (no sync — these are device futures); each
+        # pending entry carries ITS OWN pre-dispatch backup so a lagged
+        # failure rolls back to the state before the failed frame, not
+        # before the most recent dispatch
         self.arena = arena2
         self.last = new_last
         self.velocity = vel_new
-        self._pending.append((stats, T_cr, new_last, timestamp))
+        self._pending.append((stats, T_cr, new_last, timestamp, prev_backup))
         # Batch the scalar read-backs: ONE device_get round trip per
         # `commit_every` frames (each round trip costs ~28 ms here).
         if len(self._pending) >= self.commit_every:
@@ -686,14 +717,16 @@ class Tracking:
 
     def _commit(self, pending, stats_host=None):
         """Run the state machine on a lagged frame's (read) scalars."""
-        stats, T_cr, committed_last, ts = pending
+        stats, T_cr, committed_last, ts, backup = pending
         if stats_host is None:
             stats_host = jax.device_get(stats)
         n1, n_inl, close_tracked, close_untracked = (
             int(x) for x in stats_host)
         cfg = self.cfg
         if not (n1 >= 10 and n_inl >= 30):
-            # the in-flight successor consumed a bad state: roll back
+            # the failed frame (and any in-flight successors) consumed a bad
+            # state: roll back to the state before THIS frame's dispatch
+            self.arena, self.last, self.velocity = backup
             ok, T, assoc, n_inl2 = self._relocalize(committed_last.frame)
             if ok:
                 self.last = FrameState(frame=committed_last.frame, T_cw=T,
@@ -705,8 +738,6 @@ class Tracking:
                                          self.arena.kf_pose[self.ref_kf]),
                                      False))
             else:
-                if self._backup is not None:
-                    self.arena, self.last, self.velocity = self._backup
                 self.state = TrackState.LOST
                 self.records.append((float(ts), self.ref_kf,
                                      self.last.T_cw @ lie.se3_inverse(
@@ -725,6 +756,7 @@ class Tracking:
                                    committed_last.assoc, cfg)
             self.arena, assoc = insert_keyframe(
                 self.arena, frame, T, assoc, jnp.asarray(ts), cfg)
+            self._note_keyframe(ts)
             self.arena = cull_points(self.arena)
             if int(self.arena.n_kf) % 8 == 0:
                 from gdslam_tpu.backend import gba
@@ -750,9 +782,17 @@ class Tracking:
             return
         batch, self._pending = self._pending, []
         all_stats = jax.device_get([p[0] for p in batch])   # one round trip
-        for pend, st in zip(batch, all_stats):
+        for k, (pend, st) in enumerate(zip(batch, all_stats)):
             if not self._commit(pend, stats_host=st):
-                break   # failure: later in-flight frames consumed bad state
+                # later in-flight frames consumed the bad state: drop them,
+                # but keep their timestamps in the trajectory as lost records
+                # so every input frame appears in CameraTrajectory.txt
+                for dropped in batch[k + 1:]:
+                    self.records.append(
+                        (float(dropped[3]), self.ref_kf,
+                         self.last.T_cw @ lie.se3_inverse(
+                             self.arena.kf_pose[self.ref_kf]), True))
+                break
 
     def _relocalize(self, frame: Frame):
         """Relocalization (Tracking.cc:1670-1832): BoW candidates from the
@@ -845,7 +885,11 @@ class Tracking:
     def keyframe_trajectory(self) -> list[tuple[float, np.ndarray]]:
         n = int(self.arena.n_kf)
         poses = np.asarray(self.arena.kf_pose[:n])
-        times = np.asarray(self.arena.kf_time[:n])
         valid = np.asarray(self.arena.kf_valid[:n])
+        # Timestamps come from the host-side list: device kf_time is float32,
+        # which cannot represent TUM epoch seconds (ULP = 128 s at 1.3e9).
+        times = np.asarray(self.arena.kf_time[:n], np.float64)
+        for i in range(min(n, len(self.kf_timestamps))):
+            times[i] = self.kf_timestamps[i]
         return [(float(times[i]), np.asarray(lie.se3_inverse(jnp.asarray(poses[i]))))
                 for i in range(n) if valid[i]]
