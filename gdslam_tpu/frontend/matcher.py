@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gdslam_tpu.core import lie
 from gdslam_tpu.ops import hamming, orb
@@ -27,7 +28,10 @@ from gdslam_tpu.ops import hamming, orb
 TH_HIGH = 100
 TH_LOW = 50
 HISTO_LENGTH = 30
-_BIG = jnp.int32(1 << 20)
+# numpy (host) constant: an eager jnp constant would be captured as a
+# device-array jaxpr const and hoisted into a hidden executable parameter,
+# which the C++ jit fastpath drops on replay (see backend/mapping.py).
+_BIG = np.int32(1 << 20)
 
 
 class MatchResult(NamedTuple):

@@ -39,7 +39,9 @@ def _np_pattern(seed: int = 42, n_bits: int = N_BITS) -> np.ndarray:
     return np.round(pts).astype(np.float32)  # [256, 2 taps, (x, y)]
 
 
-BRIEF_PATTERN = jnp.asarray(_np_pattern())   # [256, 2, 2]
+# Host (numpy) constant: baked into HLO as a literal; an eager jnp array
+# would be hoisted as a hidden executable parameter (see backend/mapping.py).
+BRIEF_PATTERN = _np_pattern()   # [256, 2, 2]
 
 
 def _circular_mask_and_coords():
@@ -132,7 +134,7 @@ def _np_bin_matrix() -> np.ndarray:
     return G
 
 
-_BIN_MATRIX = jnp.asarray(_np_bin_matrix(), jnp.float32)
+_BIN_MATRIX = _np_bin_matrix().astype(np.float32)
 
 
 def brief_from_patches(patches: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
