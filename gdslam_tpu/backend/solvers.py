@@ -142,6 +142,21 @@ def ransac_pnp(pw: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
         key, jnp.log(probs + 1e-12)[None].repeat(n_iters * 6, 0)
     ).reshape(n_iters, 6)
 
+    def _P_to_T(P, Xh, w):
+        """Projection matrix -> SE3, resolving the projective sign on the
+        RAW 3x4 matrix first (flipping an orthonormalized R negates it,
+        which is NOT a rotation): weighted projective depths of the support
+        set must be positive."""
+        w_depth = (Xh @ P[2]) * w
+        P = jnp.where(jnp.sum(w_depth) < 0, -P, P)
+        Rraw = P[:, :3]
+        U, S, Vt2 = jnp.linalg.svd(Rraw)
+        d = jnp.linalg.det(U @ Vt2)
+        R = U @ jnp.diag(jnp.stack([1.0, 1.0, d])) @ Vt2
+        scale = jnp.sum(S) / 3.0
+        t = P[:, 3] / jnp.maximum(scale, 1e-12)
+        return lie.rt_to_mat(R, t)
+
     def solve_one(si):
         X = pw[si]
         x = xn[si]
@@ -154,21 +169,8 @@ def ransac_pnp(pw: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
         A = jnp.stack(rows)
         _, _, Vt = jnp.linalg.svd(A)
         P = Vt[-1].reshape(3, 4)
-        # Resolve the projective sign ambiguity on the RAW 3x4 matrix first
-        # (flipping an orthonormalized R negates it, which is NOT a rotation):
-        # for a physical pose the projective depths w_i = P[2] @ [X;1] of the
-        # sample must be positive, so flip P if their sum is negative.
         Xh = jnp.concatenate([X, jnp.ones((X.shape[0], 1))], axis=1)
-        w_depth = Xh @ P[2]
-        P = jnp.where(jnp.sum(w_depth) < 0, -P, P)
-        # Orthonormalize once; scale is positive for non-degenerate samples.
-        Rraw = P[:, :3]
-        U, S, Vt2 = jnp.linalg.svd(Rraw)
-        d = jnp.linalg.det(U @ Vt2)
-        R = U @ jnp.diag(jnp.stack([1.0, 1.0, d])) @ Vt2
-        scale = jnp.sum(S) / 3.0
-        t = P[:, 3] / jnp.maximum(scale, 1e-12)
-        return lie.rt_to_mat(R, t)
+        return _P_to_T(P, Xh, jnp.ones(X.shape[0]))
 
     Ts = jax.vmap(solve_one)(idx)
 
@@ -183,9 +185,38 @@ def ransac_pnp(pw: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
 
     scores, inls = jax.vmap(score_one)(Ts)
     best = jnp.argmax(scores)
-    return RansacResult(T=Ts[best], inliers=inls[best],
-                        n_inliers=scores[best],
-                        ok=scores[best] >= min_inliers)
+    T_best, inl_best = Ts[best], inls[best]
+
+    # Local optimization (the "refine" stage of PnPsolver::Refine,
+    # PnPsolver.cc:437-471): refit a weighted DLT on the FULL consensus set
+    # and rescore, twice. A minimal 6-point sample under pixel noise gives a
+    # coarse pose that undercounts inliers badly; one refit typically grows
+    # the consensus to the full inlier set.
+    Xh_all = jnp.concatenate([pw, jnp.ones((n, 1))], axis=1)
+    z4_all = jnp.zeros((n, 4))
+    r1 = jnp.concatenate([Xh_all, z4_all, -xn[:, 0:1] * Xh_all], axis=1)
+    r2 = jnp.concatenate([z4_all, Xh_all, -xn[:, 1:2] * Xh_all], axis=1)
+
+    def refit(carry, _):
+        T, inl = carry
+        w = inl.astype(jnp.float32)
+        # guard: keep the previous pose when the support is too thin
+        enough = jnp.sum(w) >= 6
+        A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+        T_new = _P_to_T(Vt[-1].reshape(3, 4), Xh_all, w)
+        n_new, inl_new = score_one(T_new)
+        better = enough & (n_new >= jnp.sum(inl))
+        T = jnp.where(better, T_new, T)
+        inl = jnp.where(better, inl_new, inl)
+        return (T, inl), None
+
+    (T_best, inl_best), _ = jax.lax.scan(refit, (T_best, inl_best),
+                                         None, length=2)
+    n_best = jnp.sum(inl_best)
+    return RansacResult(T=T_best, inliers=inl_best,
+                        n_inliers=n_best,
+                        ok=n_best >= min_inliers)
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6, 7))

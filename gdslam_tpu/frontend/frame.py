@@ -42,6 +42,13 @@ class Frame(NamedTuple):
     valid: jnp.ndarray     # [N] bool (extraction valid AND mask-pass)
 
 
+def _erode_ksize(width: int) -> int:
+    """The reference erodes with a fixed 31x31 SE on 640-px-wide TUM frames
+    (Frame.cc:174-199); the margin is a fraction of image width, so scale
+    it with resolution (odd, >=3) for smaller rigs."""
+    return max(3, int(round(31 * width / 640.0)) | 1)
+
+
 def erode_mask(mask: jnp.ndarray, ksize: int = 31) -> jnp.ndarray:
     """Binary erosion with a ksize x ksize square SE (separable min-pool)."""
     m = mask.astype(jnp.float32)
@@ -69,7 +76,7 @@ def build_frame_stereo(feats: Features, ur: jnp.ndarray, kp_depth: jnp.ndarray,
     H, W = cam.height, cam.width
     u = jnp.clip(jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0, W - 1)
     v = jnp.clip(jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0, H - 1)
-    eroded = erode_mask(static_mask, 31)
+    eroded = erode_mask(static_mask, _erode_ksize(W))
     keep = feats.valid & eroded[v, u]
     uv_und = camera.undistort_points(feats.uv, cam)
     return Frame(uv=uv_und, uv_raw=feats.uv, ur=ur, depth=kp_depth,
@@ -88,7 +95,7 @@ def build_frame(feats: Features, depth_map: jnp.ndarray, static_mask: jnp.ndarra
     H, W = cam.height, cam.width
     u = jnp.clip(jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0, W - 1)
     v = jnp.clip(jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0, H - 1)
-    eroded = erode_mask(static_mask, 31)
+    eroded = erode_mask(static_mask, _erode_ksize(W))
     keep = feats.valid & eroded[v, u]
     z = depth_map[v, u]
     z = jnp.where(z > 0, z, 0.0)

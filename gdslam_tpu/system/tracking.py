@@ -32,6 +32,22 @@ from gdslam_tpu.frontend.frame import Frame, build_frame
 LOCAL_POINT_CAP = 4096   # dense local-map candidate budget
 
 
+@jax.jit
+def _dense_ratio_matches(desc_a, valid_a, desc_b, valid_b):
+    """Brute-force Hamming matching with 0.75 ratio test — the vocabulary-
+    free stand-in for SearchByBoW during relocalization (per-keypoint best
+    match in the candidate keyframe)."""
+    from gdslam_tpu.ops import hamming
+    from gdslam_tpu.ops import orb as orb_ops
+    D = hamming.hamming_matrix(orb_ops.descriptors_pm1(desc_a, valid_a),
+                               orb_ops.descriptors_pm1(desc_b, valid_b))
+    cost = jnp.where(valid_a[:, None] & valid_b[None, :], D, 1 << 20)
+    best, second, idx = hamming.best_two(cost, axis=1)
+    good = (best < 50) & (best.astype(jnp.float32) <
+                          0.75 * jnp.minimum(second, 1 << 20).astype(jnp.float32))
+    return jnp.where(good, idx, -1), jnp.sum(good)
+
+
 class TrackState(enum.Enum):
     NO_IMAGES_YET = 0
     NOT_INITIALIZED = 1
@@ -147,6 +163,40 @@ def _insert_keyframe(arena: ma.MapArena, frame: Frame, T_cw: jnp.ndarray,
 insert_keyframe = jax.jit(_insert_keyframe, static_argnums=(5,))
 
 
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def keyframe_program(arena: ma.MapArena, frame: Frame, T_cw: jnp.ndarray,
+                     assoc: jnp.ndarray, timestamp, cfg: SlamConfig,
+                     use_triangulation: bool, use_ba: bool):
+    """The ENTIRE keyframe-insertion pipeline as ONE device program:
+    proactive fuse -> insert -> epipolar CreateNewMapPoints -> duplicate
+    fusion (Replace) -> descriptor/normal refresh -> point culling ->
+    local BA -> reference-match statistic. One dispatch instead of ~8 —
+    each separate dispatch pays a ~28 ms host<->device round trip on the
+    tunneled TPU (profiled), which dominated the per-keyframe cost.
+
+    Returns (arena, assoc, T_refined, ref_matches)."""
+    from gdslam_tpu.backend import ba as ba_mod
+    from gdslam_tpu.backend import mapping
+    assoc = fuse_associate(arena, frame, T_cw, assoc, cfg)
+    arena, assoc = _insert_keyframe(arena, frame, T_cw, assoc, timestamp, cfg)
+    kf_id = arena.n_kf - 1
+    if use_triangulation:
+        arena = mapping.create_new_map_points(arena, kf_id, cfg)
+        arena, assoc = mapping.fuse_into_keyframe(arena, kf_id, cfg)
+    arena = mapping.refresh_points(arena, kf_id, cfg)
+    arena = cull_points(arena)
+    if use_ba:
+        prob = ba_mod.build_problem(arena, kf_id, cfg)
+        arena, _ = ba_mod.run_local_ba(arena, prob, cfg, 5, 5)
+        T_out = arena.kf_pose[kf_id]
+    else:
+        T_out = T_cw
+    n_kf = arena.n_kf
+    min_obs = jnp.where(n_kf > 2, 3, jnp.where(n_kf == 2, 2, 1))
+    ref_m = ref_tracked_points(arena, kf_id, min_obs)
+    return arena, assoc, T_out, ref_m
+
+
 @partial(jax.jit, static_argnums=(4,))
 def fuse_associate(arena: ma.MapArena, frame: Frame, T_cw: jnp.ndarray,
                    assoc: jnp.ndarray, cfg: SlamConfig):
@@ -208,20 +258,28 @@ def ref_tracked_points(arena: ma.MapArena, kf_id, min_obs) -> jnp.ndarray:
 @partial(jax.jit, static_argnums=(4, 5))
 def track_motion_model(last: FrameState, last_depthpts_w: jnp.ndarray,
                        frame: Frame, T_pred: jnp.ndarray, cfg: SlamConfig,
-                       radius_px: float = 15.0):
+                       radius_px: float = 15.0, temporal_points=True):
     """Frame-to-frame tracking (TrackWithMotionModel, Tracking.cc:1196-1257).
 
-    Candidates are the last frame's keypoints that have either a map-point
-    association or valid depth (the reference's temporal 'visual odometry'
-    points, UpdateLastFrame Tracking.cc:1056-1125); their 3D positions come
-    from the map / last-frame depth. Matching = dense projection search with
-    radius 15*scale^level; then pose GN.
+    Candidates are the last frame's keypoints with a map-point association;
+    with temporal_points also those with valid depth (the reference's
+    temporal 'visual odometry' points, UpdateLastFrame Tracking.cc:
+    1056-1125 — created ONLY in localization mode, Tracking.cc:1075). In
+    mapping mode anchoring on last-frame backprojections is actively
+    harmful: their world positions inherit the last pose's error, so the
+    estimate adopts the constant-velocity prediction and per-step error
+    compounds geometrically (observed: golden-ratio error growth on a
+    rotation-dominant trajectory). Map points are BA-anchored and break the
+    feedback loop. Matching = dense projection search with radius
+    15*scale^level; then pose GN.
     """
     cam = cfg.camera
     K = _K(cfg)
     sf = float(cfg.orb.scale_factor)
     lf = last.frame
-    cand_valid = lf.valid & ((last.assoc >= 0) | (lf.depth > 0))
+    temporal = jnp.asarray(temporal_points)
+    cand_valid = lf.valid & ((last.assoc >= 0) |
+                             (temporal & (lf.depth > 0)))
     # Project candidate world points with the predicted pose.
     uv_proj, zc = cam_ops.project(lie.se3_apply(T_pred, last_depthpts_w), cam)
     in_img = (uv_proj[:, 0] >= 0) & (uv_proj[:, 0] < cam.width) & \
@@ -267,10 +325,14 @@ def track_local_map(arena: ma.MapArena, frame: Frame, T: jnp.ndarray,
     sf = float(cfg.orb.scale_factor)
     sfs = extractor.scale_factors(cfg.orb)
 
+    # th=3 for RGB-D (SearchLocalPoints, Tracking.cc:1480-1492): a wide
+    # search basin lets the map pull the pose back when the motion-model
+    # estimate has drifted a few pixels; with a tight radius the error
+    # compounds instead (matches confirm the wrong prediction).
     uv_p, level_p, radius_p, vis = matcher.project_for_search(
         arena.pt_pos, arena.pt_valid, T, K, (cam.width, cam.height), sfs,
         pt_max_dist=arena.pt_max_dist, pt_normal=arena.pt_normal,
-        base_radius=4.0)
+        base_radius=12.0)
     # Budgeted candidate set: prefer high-observation points.
     cap = min(LOCAL_POINT_CAP, arena.pmax)
     score = jnp.where(vis, 1 + arena.pt_n_obs, 0)
@@ -317,7 +379,8 @@ def track_local_map(arena: ma.MapArena, frame: Frame, T: jnp.ndarray,
 @partial(jax.jit, static_argnums=(7,))
 def track_step(arena: ma.MapArena, last: FrameState, velocity: jnp.ndarray,
                has_velocity, gray: jnp.ndarray, depth: jnp.ndarray,
-               mask: jnp.ndarray, cfg: SlamConfig, ref_kf):
+               mask: jnp.ndarray, cfg: SlamConfig, ref_kf,
+               temporal_points=False):
     """The fused per-frame program: extraction -> frame build -> motion-model
     tracking (with wide-radius retry) -> local-map tracking -> velocity and
     keyframe statistics. One device round-trip per frame; the host reads a
@@ -326,14 +389,18 @@ def track_step(arena: ma.MapArena, last: FrameState, velocity: jnp.ndarray,
     feats = extractor.extract(gray, cfg.orb, cam.height, cam.width)
     frame = build_frame(feats, depth, mask, cam)
     return track_frame_core(arena, last, velocity, has_velocity, frame,
-                            cfg, ref_kf)
+                            cfg, ref_kf, temporal_points)
 
 
 @partial(jax.jit, static_argnums=(5,))
 def track_frame_core(arena: ma.MapArena, last: FrameState,
                      velocity: jnp.ndarray, has_velocity, frame: Frame,
-                     cfg: SlamConfig, ref_kf):
-    """Frame-level tracking core (shared by RGB-D / stereo / monocular)."""
+                     cfg: SlamConfig, ref_kf, temporal_points=False):
+    """Frame-level tracking core (shared by RGB-D / stereo / monocular).
+
+    temporal_points: anchor motion-model matching on last-frame depth
+    backprojections too — localization-only mode (see track_motion_model).
+    """
     cam = cfg.camera
     # world points of the last frame (map point if associated, else depth)
     lf = last.frame
@@ -344,11 +411,13 @@ def track_frame_core(arena: ma.MapArena, last: FrameState,
     pts_w = jnp.where(has_pt[:, None], arena.pt_pos[pt_rows], pw_depth)
 
     T_pred = jnp.where(has_velocity, velocity @ last.T_cw, last.T_cw)
-    T1, assoc1, n1, _ = track_motion_model(last, pts_w, frame, T_pred, cfg)
+    T1, assoc1, n1, _ = track_motion_model(last, pts_w, frame, T_pred, cfg,
+                                           temporal_points=temporal_points)
 
     def wide_retry(_):
         return track_motion_model(last, pts_w, frame, last.T_cw, cfg,
-                                  radius_px=30.0)
+                                  radius_px=30.0,
+                                  temporal_points=temporal_points)
 
     T1, assoc1, n1, _ = jax.lax.cond(
         n1 < 10, wide_retry,
@@ -401,6 +470,7 @@ class Tracking:
         self.use_local_ba: bool = True      # LocalMapping's BA stage
         self.loop_closer = None             # optional LoopCloser (needs vocab)
         self.pipeline = pipeline
+        self.use_triangulation = True       # CreateNewMapPoints epipolar stage
         self.commit_every = 3               # frames per host sync (pipeline mode)
         self._pending = []                  # in-flight frames (pipeline mode)
         # Keyframe timestamps live host-side: float32 cannot represent TUM
@@ -410,12 +480,39 @@ class Tracking:
         self.arena_full_warned = False
 
     # -- helpers -------------------------------------------------------------
+    @property
+    def n_kf_host(self) -> int:
+        """Keyframe count WITHOUT a device sync (kf_timestamps mirrors the
+        arena's monotonic n_kf cursor): a bare int(arena.n_kf) costs a full
+        tunnel round trip (~28 ms)."""
+        return len(self.kf_timestamps)
+
+    def _do_keyframe(self, frame: Frame, T, assoc, timestamp: float):
+        """The LocalMapping duties at keyframe insertion (LocalMapping::Run,
+        LocalMapping.cc:47-112) in ONE device dispatch, then the host-side
+        bookkeeping (ref keyframe, loop closing). Returns (assoc, T_refined);
+        performs exactly one device sync (the ref-match count)."""
+        cfg = self.cfg
+        new_n_kf = self.n_kf_host + 1
+        use_ba = self.use_local_ba and new_n_kf >= 3
+        self.arena, assoc, T_out, ref_m = keyframe_program(
+            self.arena, frame, T, assoc, jnp.asarray(timestamp), cfg,
+            self.use_triangulation, use_ba)
+        self._note_keyframe(timestamp)
+        self.ref_kf = new_n_kf - 1
+        self.ref_kf_matches = int(ref_m)
+        self.frames_since_kf = 0
+        if self.loop_closer is not None:
+            self.arena = self.loop_closer.process_keyframe(
+                self.arena, self.ref_kf)
+        return assoc, T_out
+
     def _note_keyframe(self, timestamp: float):
         """Record a keyframe's timestamp host-side (slot == list index) and
         surface an arena-full warning once (silent slot exhaustion otherwise
         just stops point creation)."""
         self.kf_timestamps.append(float(timestamp))
-        if not self.arena_full_warned and \
+        if not self.arena_full_warned and self.n_kf_host % 16 == 0 and \
                 int(self.arena.n_pt) >= self.arena.pmax:
             import warnings
             warnings.warn(
@@ -434,6 +531,56 @@ class Tracking:
         pt_rows = jnp.where(has_pt, self.last.assoc, 0)
         return jnp.where(has_pt[:, None], self.arena.pt_pos[pt_rows], pw_depth)
 
+    def reset(self):
+        """Tracking::Reset (Tracking.cc:1834-1880): wipe the map, keyframe
+        database, trajectory records, and state; the system re-initializes
+        from the next frame. Triggered by System::Reset or automatically on
+        early loss (Tracking.cc:618-626)."""
+        self.arena = ma.new_arena(self.arena.kmax, self.arena.pmax,
+                                  self.cfg.orb.n_features)
+        self.state = TrackState.NO_IMAGES_YET
+        self.last = None
+        self.velocity = None
+        self.ref_kf = 0
+        self.ref_kf_matches = 0
+        self.frames_since_kf = 0
+        self.records = []
+        self._pending = []
+        self.kf_timestamps = []
+        self._mono_first = None
+        self.arena_full_warned = False
+        if self.loop_closer is not None:
+            self.loop_closer.reset()
+
+    def _on_lost(self, timestamp: float, T_last):
+        """LOST handling incl. the early-loss auto-reset: LOST with <=5
+        keyframes wipes and restarts the whole system (Tracking.cc:618-626
+        -> System::Reset)."""
+        self.state = TrackState.LOST
+        self._record(timestamp, T_last, lost=True)
+        if self.mapping_enabled and self.n_kf_host <= 5:
+            self.reset()
+
+    def light_track(self, frame: Frame):
+        """Map-preserving pose pre-pass (LightTrack, Tracking.cc:654-760 /
+        LightTrackWithMotionModel, Tracking.cc:1127-1195): motion-model
+        matching + pose GN against the last frame's points. NO tracker state
+        is modified — the reference backs up and restores mLastFrame; here
+        the device program is pure so nothing needs restoring. Refuses to
+        run uninitialized (Tracking.cc:660-664). Returns (ok, T_cw)."""
+        if self.state != TrackState.OK or self.last is None:
+            return False, None
+        pts_w = self._world_points_for_last()
+        T_pred = (self.velocity @ self.last.T_cw
+                  if self.velocity is not None else self.last.T_cw)
+        T, _, n_inl, _ = track_motion_model(self.last, pts_w, frame,
+                                            T_pred, self.cfg)
+        if int(n_inl) < 10:
+            T, _, n_inl, _ = track_motion_model(self.last, pts_w, frame,
+                                                self.last.T_cw, self.cfg,
+                                                radius_px=30.0)
+        return int(n_inl) >= 10, T
+
     def process(self, gray: jnp.ndarray, depth: jnp.ndarray,
                 mask: jnp.ndarray, timestamp: float) -> np.ndarray:
         """Track one RGB-D frame. Returns the 4x4 T_cw estimate."""
@@ -447,8 +594,12 @@ class Tracking:
             feats = extractor.extract(gray, cfg.orb, cam.height, cam.width)
             frame = build_frame(feats, depth, mask, cam)
             n_valid = int(jnp.sum(frame.valid))
+            # Reference gate: >500 keypoints of a 1500 budget (Tracking.cc:
+            # 767) — scaled to small test rigs as a quarter of the budget
+            # (dynamic-object masking can legitimately cull a third of the
+            # keypoints and RGB-D init only needs depth seeds).
             if n_valid >= min(cfg.tracking.min_init_features,
-                              cfg.orb.n_features // 2):
+                              cfg.orb.n_features // 4):
                 T0 = jnp.eye(4)
                 self.arena, assoc = stereo_initialize(self.arena, frame, T0, cfg)
                 self._note_keyframe(timestamp)
@@ -473,7 +624,8 @@ class Tracking:
         vel = self.velocity if has_vel else jnp.eye(4)
         arena2, new_last, vel_new, T_cr, stats = track_step(
             self.arena, self.last, vel, jnp.asarray(has_vel), gray, depth,
-            mask, cfg, jnp.asarray(self.ref_kf))
+            mask, cfg, jnp.asarray(self.ref_kf),
+            jnp.asarray(not self.mapping_enabled))
         n1, n_inl, close_tracked, close_untracked = (
             int(x) for x in jax.device_get(stats))
         ok = n1 >= 10 and n_inl >= 30
@@ -484,10 +636,10 @@ class Tracking:
             frame = new_last.frame
             ok, T, assoc, n_inl = self._relocalize(frame)
             if not ok:
-                self.state = TrackState.LOST
-                self._record(timestamp, self.last.T_cw, lost=True)
+                T_last = self.last.T_cw
+                self._on_lost(timestamp, T_last)
                 self.frame_id += 1
-                return np.asarray(self.last.T_cw)
+                return np.asarray(T_last)
             vel_new = None
             T_cr = T @ lie.se3_inverse(self.arena.kf_pose[self.ref_kf])
 
@@ -500,27 +652,8 @@ class Tracking:
 
         if self.mapping_enabled and self._need_keyframe_stats(
                 n_inl, close_tracked, close_untracked):
-            assoc = fuse_associate(self.arena, frame, T, assoc, cfg)
-            self.arena, assoc = insert_keyframe(
-                self.arena, frame, T, assoc, jnp.asarray(timestamp), cfg)
-            self._note_keyframe(timestamp)
-            self.arena = cull_points(self.arena)
-            if self.use_local_ba and int(self.arena.n_kf) >= 3:
-                from gdslam_tpu.backend import ba
-                self.arena, _ = ba.local_bundle_adjustment(
-                    self.arena, int(self.arena.n_kf) - 1, cfg)
-                # adopt the BA-refined pose for subsequent prediction
-                T = self.arena.kf_pose[int(self.arena.n_kf) - 1]
+            assoc, T = self._do_keyframe(frame, T, assoc, timestamp)
             self.last = FrameState(frame=frame, T_cw=T, assoc=assoc)
-            self.ref_kf = int(self.arena.n_kf) - 1
-            n_kf = int(self.arena.n_kf)
-            min_obs = 3 if n_kf > 2 else (2 if n_kf == 2 else 1)
-            self.ref_kf_matches = int(ref_tracked_points(
-                self.arena, self.ref_kf, min_obs))
-            self.frames_since_kf = 0
-            if self.loop_closer is not None:
-                self.arena = self.loop_closer.process_keyframe(
-                    self.arena, self.ref_kf)
         self.frame_id += 1
         return np.asarray(T)
 
@@ -551,9 +684,9 @@ class Tracking:
 
     def process_mono(self, gray: jnp.ndarray, timestamp: float) -> np.ndarray:
         """Monocular tracking (GrabImageMonocular, Tracking.cc:371): two-view
-        H/F bootstrap, then the common pipeline with mono-only observations.
-        New-point triangulation during mapping is limited to the bootstrap
-        pair in this revision (depth-based creation is RGB-D/stereo only)."""
+        H/F bootstrap, then the common pipeline with mono-only observations;
+        the map grows past the bootstrap pair via epipolar triangulation at
+        keyframe insertion (mapping.create_new_map_points)."""
         from gdslam_tpu.frontend import initializer as ini
         cfg = self.cfg
         cam = cfg.camera
@@ -626,7 +759,7 @@ class Tracking:
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             n_valid = int(jnp.sum(frame.valid))
             min_init = min(cfg.tracking.min_init_features,
-                           cfg.orb.n_features // 2)
+                           cfg.orb.n_features // 4)
             if n_valid >= min_init and int(jnp.sum(frame.depth > 0)) > 100:
                 T0 = jnp.eye(4)
                 self.arena, assoc = stereo_initialize(self.arena, frame, T0, cfg)
@@ -646,17 +779,17 @@ class Tracking:
         vel = self.velocity if has_vel else jnp.eye(4)
         arena2, new_last, vel_new, T_cr, stats = track_frame_core(
             self.arena, self.last, vel, jnp.asarray(has_vel), frame, cfg,
-            jnp.asarray(self.ref_kf))
+            jnp.asarray(self.ref_kf), jnp.asarray(not self.mapping_enabled))
         n1, n_inl, close_tracked, close_untracked = (
             int(x) for x in jax.device_get(stats))
         ok = n1 >= 10 and n_inl >= 30
         if not ok:
             ok, T, assoc, n_inl = self._relocalize(frame)
             if not ok:
-                self.state = TrackState.LOST
-                self._record(timestamp, self.last.T_cw, lost=True)
+                T_last = self.last.T_cw
+                self._on_lost(timestamp, T_last)
                 self.frame_id += 1
-                return np.asarray(self.last.T_cw)
+                return np.asarray(T_last)
             self.velocity = None
             self.last = FrameState(frame=frame, T_cw=T, assoc=assoc)
         else:
@@ -669,20 +802,9 @@ class Tracking:
         self._record(timestamp, self.last.T_cw, lost=False)
         if self.mapping_enabled and self._need_keyframe_stats(
                 n_inl, close_tracked, close_untracked):
-            assoc = fuse_associate(self.arena, self.last.frame,
-                                   self.last.T_cw, self.last.assoc, cfg)
-            self.arena, assoc = insert_keyframe(
-                self.arena, self.last.frame, self.last.T_cw, assoc,
-                jnp.asarray(timestamp), cfg)
-            self._note_keyframe(timestamp)
-            self.arena = cull_points(self.arena)
-            self.last = self.last._replace(assoc=assoc)
-            self.ref_kf = int(self.arena.n_kf) - 1
-            n_kf = int(self.arena.n_kf)
-            min_obs = 3 if n_kf > 2 else (2 if n_kf == 2 else 1)
-            self.ref_kf_matches = int(ref_tracked_points(
-                self.arena, self.ref_kf, min_obs))
-            self.frames_since_kf = 0
+            assoc, T = self._do_keyframe(self.last.frame, self.last.T_cw,
+                                         self.last.assoc, timestamp)
+            self.last = self.last._replace(assoc=assoc, T_cw=T)
         self.frame_id += 1
         return np.asarray(self.last.T_cw)
 
@@ -695,7 +817,8 @@ class Tracking:
         has_vel = self.velocity is not None
         vel = self.velocity if has_vel else jnp.eye(4)
         out = track_step(self.arena, self.last, vel, jnp.asarray(has_vel),
-                         gray, depth, mask, cfg, jnp.asarray(self.ref_kf))
+                         gray, depth, mask, cfg, jnp.asarray(self.ref_kf),
+                         jnp.asarray(not self.mapping_enabled))
         arena2, new_last, vel_new, T_cr, stats = out
         # tentative adoption (no sync — these are device futures); each
         # pending entry carries ITS OWN pre-dispatch backup so a lagged
@@ -743,6 +866,8 @@ class Tracking:
                                      self.last.T_cw @ lie.se3_inverse(
                                          self.arena.kf_pose[self.ref_kf]),
                                      True))
+                if self.mapping_enabled and self.n_kf_host <= 5:
+                    self.reset()
             return False
         self.n_inliers = n_inl
         self.state = TrackState.OK
@@ -752,28 +877,10 @@ class Tracking:
                 n_inl, close_tracked, close_untracked):
             frame = committed_last.frame
             T = committed_last.T_cw
-            assoc = fuse_associate(self.arena, frame, T,
-                                   committed_last.assoc, cfg)
-            self.arena, assoc = insert_keyframe(
-                self.arena, frame, T, assoc, jnp.asarray(ts), cfg)
-            self._note_keyframe(ts)
-            self.arena = cull_points(self.arena)
-            if int(self.arena.n_kf) % 8 == 0:
+            assoc, _ = self._do_keyframe(frame, T, committed_last.assoc, ts)
+            if self.n_kf_host % 8 == 0:
                 from gdslam_tpu.backend import gba
                 self.arena = gba.keyframe_culling(self.arena)
-            if self.use_local_ba and int(self.arena.n_kf) >= 3:
-                from gdslam_tpu.backend import ba
-                self.arena, _ = ba.local_bundle_adjustment(
-                    self.arena, int(self.arena.n_kf) - 1, cfg)
-            self.ref_kf = int(self.arena.n_kf) - 1
-            n_kf = int(self.arena.n_kf)
-            min_obs = 3 if n_kf > 2 else (2 if n_kf == 2 else 1)
-            self.ref_kf_matches = int(ref_tracked_points(
-                self.arena, self.ref_kf, min_obs))
-            self.frames_since_kf = 0
-            if self.loop_closer is not None:
-                self.arena = self.loop_closer.process_keyframe(
-                    self.arena, self.ref_kf)
         return True
 
     def flush(self):
@@ -795,45 +902,75 @@ class Tracking:
                 break
 
     def _relocalize(self, frame: Frame):
-        """Relocalization (Tracking.cc:1670-1832): BoW candidates from the
-        keyframe database, BoW-guided matching, robust 3D-3D pose (replacing
-        EPnP RANSAC — RGB-D keypoints carry depth), pose optimization with a
-        >=50-inlier acceptance."""
-        if self.loop_closer is None:
-            return False, None, None, 0
-        from gdslam_tpu.backend import keyframe_db as kdb
+        """Relocalization (Tracking.cc:1670-1832): candidate keyframes from
+        the BoW database (or, without a vocabulary, the most recent keyframes
+        — short-term loss recovery), descriptor matching, vmapped EPnP-style
+        2D-3D RANSAC (PnPsolver semantics, RANSAC(0.99,10,300) at
+        Tracking.cc:1715 — works for depthless/mono keypoints), then pose
+        optimization with a >=50-inlier acceptance. When the frame has dense
+        depth, a 3D-3D rigid RANSAC result is used as a fallback hypothesis."""
         from gdslam_tpu.backend import solvers
-        from gdslam_tpu.backend import vocabulary as voc
-        from gdslam_tpu.backend.loop_closing import _bow_guided_matches
-        lc = self.loop_closer
         cfg = self.cfg
         cam = cfg.camera
-        words = voc.transform(frame.desc, lc.vocab.centers, lc.vocab.k,
-                              lc.vocab.levels)
-        words = jnp.where(frame.valid, words, -1)
-        vec = voc.bow_vector(words, words >= 0, lc.vocab.n_leaves)
-        ids, scores, ok_c = kdb.reloc_candidates(lc.db, vec)
         arena = self.arena
-        for i in range(ids.shape[0]):
-            if not bool(ok_c[i]) or float(scores[i]) <= 0:
-                continue
-            kf = int(ids[i])
-            m_idx, n_m = _bow_guided_matches(
-                frame.desc, frame.valid, words,
-                arena.kf_desc[kf], arena.kf_kp_valid[kf], lc.db.words[kf])
+        n_kf = self.n_kf_host
+        if n_kf == 0:
+            return False, None, None, 0
+
+        words = None
+        candidates: list[int] = []
+        if self.loop_closer is not None:
+            from gdslam_tpu.backend import keyframe_db as kdb
+            from gdslam_tpu.backend import vocabulary as voc
+            lc = self.loop_closer
+            words = voc.transform(frame.desc, lc.vocab.centers, lc.vocab.k,
+                                  lc.vocab.levels)
+            words = jnp.where(frame.valid, words, -1)
+            vec = voc.bow_vector(words, words >= 0, lc.vocab.n_leaves)
+            ids, scores, ok_c = kdb.reloc_candidates(lc.db, vec)
+            candidates = [int(ids[i]) for i in range(ids.shape[0])
+                          if bool(ok_c[i]) and float(scores[i]) > 0]
+        if not candidates:
+            # No vocabulary (default System construction) or no BoW hits:
+            # try the most recent keyframes — covers the common case of
+            # short-term tracking loss near the last mapped region.
+            candidates = list(range(n_kf - 1, max(-1, n_kf - 6), -1))
+
+        for kf in candidates:
+            if self.loop_closer is not None and words is not None:
+                from gdslam_tpu.backend.loop_closing import _bow_guided_matches
+                m_idx, n_m = _bow_guided_matches(
+                    frame.desc, frame.valid, words,
+                    arena.kf_desc[kf], arena.kf_kp_valid[kf],
+                    self.loop_closer.db.words[kf])
+            else:
+                m_idx, n_m = _dense_ratio_matches(
+                    frame.desc, frame.valid,
+                    arena.kf_desc[kf], arena.kf_kp_valid[kf])
             if int(n_m) < 15:
                 continue
             rows = jnp.maximum(m_idx, 0)
             pt = arena.kf_obs[kf][rows]
-            has_pt = (m_idx >= 0) & (pt >= 0) & (frame.depth > 0)
+            has_pt = (m_idx >= 0) & (pt >= 0) & \
+                arena.pt_valid[jnp.maximum(pt, 0)]
             pw = arena.pt_pos[jnp.maximum(pt, 0)]
-            q = cam_ops.backproject(frame.uv, frame.depth, cam)
-            res = solvers.ransac_rigid(
-                pw, q, has_pt, jax.random.PRNGKey(self.frame_id),
-                _K(cfg), frame.uv, n_iters=300, min_inliers=10,
-                px_threshold=5.991 ** 0.5 * 2)
+            # 2D-3D PnP RANSAC: no keypoint depth required.
+            res = solvers.ransac_pnp(
+                pw, frame.uv, has_pt, _K(cfg), n_iters=300, min_inliers=10,
+                px_threshold=5.991 ** 0.5,
+                key=jax.random.PRNGKey(self.frame_id))
             if not bool(res.ok):
-                continue
+                # fallback hypothesis from 3D-3D where depth exists
+                has_3d = has_pt & (frame.depth > 0)
+                if int(jnp.sum(has_3d)) < 10:
+                    continue
+                q = cam_ops.backproject(frame.uv, frame.depth, cam)
+                res = solvers.ransac_rigid(
+                    pw, q, has_3d, jax.random.PRNGKey(self.frame_id),
+                    _K(cfg), frame.uv, n_iters=300, min_inliers=10,
+                    px_threshold=5.991 ** 0.5 * 2)
+                if not bool(res.ok):
+                    continue
             matched = has_pt & res.inliers
             obs = optimizer.PoseObs(
                 pw=jnp.where(matched[:, None], pw, 0.0),
@@ -842,16 +979,24 @@ class Tracking:
                 valid=matched)
             T, inl, n_inl = optimizer.pose_optimization(
                 res.T, obs, _K(cfg), cam.bf)
-            if int(n_inl) >= 50:
-                assoc = jnp.where(inl & matched, pt, -1)
-                return True, T, assoc, int(n_inl)
+            if int(n_inl) < 10:
+                continue
+            # Grow the match set by projecting the whole map with the coarse
+            # pose (SearchByProjection growth stage, Tracking.cc:1784-1818):
+            # the candidate's own BoW matches rarely reach the 50-inlier
+            # acceptance bar on their own.
+            assoc0 = jnp.where(inl & matched, pt, -1)
+            self.arena, T2, assoc2, n2 = track_local_map(
+                self.arena, frame, T, cfg, assoc0)
+            if int(n2) >= 50:
+                return True, T2, assoc2, int(n2)
         return False, None, None, 0
 
     def _need_keyframe_stats(self, n_inl: int, close_tracked: int,
                              close_untracked: int) -> bool:
         """NeedNewKeyFrame rules for RGB-D (Tracking.cc:1306-1390), fed by
         the statistics the fused track_step already computed."""
-        if int(self.arena.n_kf) >= self.arena.kmax - 1:
+        if self.n_kf_host >= self.arena.kmax - 1:
             return False
         # under heavy dynamic masking close_tracked can sit below 100
         # permanently; without the reference's busy-LocalMapping backpressure
@@ -860,7 +1005,17 @@ class Tracking:
         need_close = close_tracked < 100 and close_untracked > 70 and \
             (self.frames_since_kf >= 3 or n_inl < 40)
         c1a = self.frames_since_kf >= self.cfg.camera.fps   # mMaxFrames
-        c2 = (n_inl < 0.75 * max(self.ref_kf_matches, 1) or need_close) \
+        # thRefRatio: 0.75 for RGB-D/stereo, 0.9 for monocular (Tracking.cc:
+        # 1369-1374); a frame with zero depth-classified keypoints is mono.
+        mono = (close_tracked + close_untracked) == 0
+        ratio = 0.9 if mono else 0.75
+        # Mono c1b analogue (Tracking.cc:1355 mMinFrames=0 + idle mapper):
+        # the reference inserts mono keyframes densely and culls redundant
+        # ones later; a fixed fps/3 cadence replaces the busy-flag.
+        if mono and self.frames_since_kf >= max(3, int(self.cfg.camera.fps) // 3) \
+                and n_inl > 15:
+            return True
+        c2 = (n_inl < ratio * max(self.ref_kf_matches, 1) or need_close) \
             and n_inl > 15
         return c2 or (c1a and n_inl > 15)
 
