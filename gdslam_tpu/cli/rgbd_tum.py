@@ -35,8 +35,6 @@ def main(argv=None):
     masks_dir = argv[4] if len(argv) > 4 else None
     output_dir = argv[5] if len(argv) > 5 else None
 
-    import jax.numpy as jnp
-
     from gdslam_tpu.config import SlamConfig
     from gdslam_tpu.io.tum import TumSequence
     from gdslam_tpu.masking.masknet import SegmentDynObject
@@ -78,23 +76,27 @@ def main(argv=None):
             mask = 1.0 - dyn                       # static=1 (rgbd_tum.cc:137-150)
         t0 = time.perf_counter()
         if use_gd:
-            T, refined = slam.track_rgbd_gd(rgb, depth, mask, ts)
+            # argc==7 mode (rgbd_tum.cc:154): GD scene-flow masking with
+            # inpainted rgb/depth outputs
+            T, refined, rgb_o, depth_o = slam.track_rgbd_gd(
+                rgb, depth, mask, ts, inpaint=True)
+        elif segmenter is not None:
+            # argc==6 mode (rgbd_tum.cc:157 -> GrabImageRGBD 4-arg,
+            # Tracking.cc:331-369): DynaSLAM LightTrack + geometric correction
+            T = slam.track_rgbd(rgb, depth, mask, ts, use_geometry=True)
         else:
             T = slam.track_rgbd(rgb, depth, mask, ts)
         times.append(time.perf_counter() - t0)
         if use_gd:
             from PIL import Image
-            geo = slam._geo
-            if geo is not None and slam.tracker.last is not None:
-                rgb_o, depth_o = _inpaint_outputs(slam, rgb, depth, refined)
-                name = f"{ts:.6f}.png"
-                Image.fromarray(rgb_o.astype(np.uint8)).save(
-                    os.path.join(output_dir, "rgb", name))
-                Image.fromarray((depth_o * cfg.camera.depth_map_factor)
-                                .astype(np.uint16)).save(
-                    os.path.join(output_dir, "depth", name))
-                Image.fromarray((refined * 255).astype(np.uint8)).save(
-                    os.path.join(output_dir, "mask", name))
+            name = f"{ts:.6f}.png"
+            Image.fromarray(rgb_o.astype(np.uint8)).save(
+                os.path.join(output_dir, "rgb", name))
+            Image.fromarray((depth_o * cfg.camera.depth_map_factor)
+                            .astype(np.uint16)).save(
+                os.path.join(output_dir, "depth", name))
+            Image.fromarray((refined * 255).astype(np.uint8)).save(
+                os.path.join(output_dir, "mask", name))
         if i % 50 == 0:
             print(f"frame {i}/{len(seq)} state={slam.tracking_state.name} "
                   f"kfs={slam.keyframe_count}")
@@ -107,26 +109,6 @@ def main(argv=None):
     slam.save_keyframe_trajectory_tum("KeyFrameTrajectory.txt")
     print("trajectory saved!")
     return 0
-
-
-def _inpaint_outputs(slam, rgb, depth, refined_mask):
-    """Background inpainting of the masked frame (InpaintFrames,
-    Tracking.cc:259)."""
-    import jax.numpy as jnp
-
-    from gdslam_tpu.masking.geometry import Geometry
-    if not hasattr(slam, "_geometry"):
-        slam._geometry = Geometry(slam.cfg)
-    geo = slam._geometry
-    T_cw = jnp.asarray(np.asarray(slam.tracker.last.T_cw))
-    rgb_j = jnp.asarray(rgb)
-    depth_j = jnp.asarray(depth)
-    mask_j = jnp.asarray(refined_mask)
-    rgb_o, depth_o = geo.inpaint_frames(rgb_j, depth_j, mask_j, T_cw)
-    gray = 0.299 * rgb_j[..., 0] + 0.587 * rgb_j[..., 1] + 0.114 * rgb_j[..., 2]
-    geo.update_db(gray, depth_j, mask_j, rgb_j, T_cw,
-                  is_keyframe=slam.tracker.frames_since_kf == 0)
-    return np.asarray(rgb_o), np.asarray(depth_o)
 
 
 if __name__ == "__main__":

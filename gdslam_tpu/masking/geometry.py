@@ -184,7 +184,14 @@ def extract_dynamic_seeds(db: GeometryDB, cur_depth: jnp.ndarray,
         votes = votes + seed.astype(jnp.int32)
         n_refs = n_refs + ok.astype(jnp.int32)
     need = jnp.minimum(3, jnp.maximum(n_refs, 1))
-    return votes >= need
+    seeds = votes >= need
+    # Density filter: genuinely dynamic surfaces produce CLUSTERS of seeds
+    # (every reprojected ref pixel over the object agrees); isolated seeds
+    # are pose-error/boundary noise, and a single stray seed can flood-fill
+    # a large smooth-depth background band in the region-growing stage.
+    density = jax.lax.reduce_window(seeds.astype(jnp.int32), 0,
+                                    jax.lax.add, (5, 5), (1, 1), "SAME")
+    return seeds & (density >= 5)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
@@ -208,7 +215,7 @@ def depth_region_growing(seeds: jnp.ndarray, depth: jnp.ndarray,
             nb_seed = jnp.roll(sdepth, (dy, dx), (0, 1))
             grow = nb_region & ~region & (depth > 0) & \
                 (jnp.abs(depth - nb_depth) < threshold) & \
-                (jnp.abs(depth - nb_seed) < 2.0 * threshold)
+                (jnp.abs(depth - nb_seed) < 1.5 * threshold)
             sdepth = jnp.where(grow, nb_seed, sdepth)
             region = region | grow
         return region, sdepth
@@ -293,9 +300,13 @@ class Geometry:
         if not bool(jnp.any(self.db.valid)):
             return sem_mask
         seeds = extract_dynamic_seeds(self.db, cur_depth, T_cw, self.cfg)
+        # The reference's 15 px dilation assumes 640-px-wide frames
+        # (Geometry.cc:434-439); scale with resolution.
+        dil = max(int(round(self.cfg.geometry.dilation_px *
+                            self.cfg.camera.width / 640.0)), 2)
         grown = depth_region_growing(
             seeds, cur_depth, self.cfg.geometry.region_growing_threshold,
-            64, self.cfg.geometry.dilation_px)
+            64, dil)
         return combine_masks(sem_mask, grown)
 
     def inpaint_frames(self, cur_rgb, cur_depth, cur_mask, T_cw):

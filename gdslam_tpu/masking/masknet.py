@@ -77,7 +77,8 @@ class SegmentDynObject:
             labels = np.asarray(self.segmenter.instances(rgb), np.int32)
         else:
             # connected components of the binary mask as instance labels
-            import cv2
-            _, labels = cv2.connectedComponents(
-                (mask > 0.5).astype(np.uint8))
+            # (scipy ships with jax; no OpenCV dependency)
+            from scipy import ndimage
+            labels, _ = ndimage.label(mask > 0.5)
+            labels = labels.astype(np.int32)
         return mask, labels

@@ -60,6 +60,8 @@ class System:
         self.tracker = Tracking(settings, kmax=kmax, pmax=pmax)
         self._localization_only = False
         self._geo = None  # lazily-constructed GeoMaskMaker (TrackRGBD_GD)
+        self._geometry = None  # lazily-constructed Geometry (DynaSLAM path)
+        self._last_refined_mask = None
         self._vocab = None
         if vocabulary is not None:
             from gdslam_tpu.backend import vocabulary as voc_mod
@@ -72,22 +74,97 @@ class System:
 
     # ------------------------------------------------------------------ track
     def track_rgbd(self, rgb: np.ndarray, depth: np.ndarray,
-                   mask: Optional[np.ndarray], timestamp: float) -> np.ndarray:
-        """TrackRGBD (System.cc:157-207 4-arg form): depth in meters (already
-        scaled by DepthMapFactor), mask 1=static. Returns T_cw 4x4."""
+                   mask: Optional[np.ndarray], timestamp: float,
+                   use_geometry: bool = False) -> np.ndarray:
+        """TrackRGBD (System.cc:157-312): depth in meters (already scaled by
+        DepthMapFactor), mask 1=static. Returns T_cw 4x4.
+
+        With use_geometry=True this is the DynaSLAM path (the reference's
+        4-arg GrabImageRGBD, Tracking.cc:331-369): LightTrack pose pre-pass ->
+        Geometry::GeometricModelCorrection refines the semantic mask with
+        multi-view geometric dynamic detection -> frame rebuilt with the
+        refined mask -> Track -> GeometricModelUpdateDB. (The 7-arg form with
+        background inpainting is track_rgbd_geom.)"""
         gray = _to_gray(rgb, self.cfg.camera.rgb == 1)
         depth = jnp.asarray(depth, jnp.float32)
         if mask is None:
             mask = jnp.ones(gray.shape, jnp.float32)
-        return self.tracker.process(gray, depth, jnp.asarray(mask, jnp.float32),
-                                    timestamp)
+        mask = jnp.asarray(mask, jnp.float32)
+        if not use_geometry:
+            return self.tracker.process(gray, depth, mask, timestamp)
+        T, _ = self._track_rgbd_geometry(gray, depth, mask, timestamp)
+        self._update_geometry_db(gray, depth, self._last_refined_mask,
+                                 jnp.asarray(rgb, jnp.float32))
+        return T
+
+    def track_rgbd_geom(self, rgb: np.ndarray, depth: np.ndarray,
+                        mask: Optional[np.ndarray], timestamp: float):
+        """The reference's 7-arg TrackRGBD (System.cc:157-207 ->
+        GrabImageRGBD, Tracking.cc:271-329): geometric mask correction +
+        background inpainting. Returns (T_cw, rgb_out, depth_out, mask_out)
+        — the imRGBOut/imDOut/maskOut output arguments."""
+        gray = _to_gray(rgb, self.cfg.camera.rgb == 1)
+        depth = jnp.asarray(depth, jnp.float32)
+        rgb_j = jnp.asarray(rgb, jnp.float32)
+        if mask is None:
+            mask = jnp.ones(gray.shape, jnp.float32)
+        mask = jnp.asarray(mask, jnp.float32)
+        T, refined = self._track_rgbd_geometry(gray, depth, mask, timestamp)
+        rgb_out, depth_out = self._geometry.inpaint_frames(
+            rgb_j, depth, refined, jnp.asarray(np.asarray(T)))
+        self._update_geometry_db(gray, depth, refined, rgb_j)
+        return T, np.asarray(rgb_out), np.asarray(depth_out), \
+            np.asarray(refined)
+
+    def _track_rgbd_geometry(self, gray, depth, sem_mask, timestamp):
+        """Shared body of the DynaSLAM RGB-D entry point: LightTrack ->
+        GeometricModelCorrection -> masked Frame -> Track (Tracking.cc:
+        271-329, 301-312). Returns (T_cw, refined_mask)."""
+        from gdslam_tpu.frontend import extractor
+        from gdslam_tpu.frontend.frame import build_frame
+        if self._geometry is None:
+            from gdslam_tpu.masking.geometry import Geometry
+            self._geometry = Geometry(self.cfg)
+        cfg = self.cfg
+        cam = cfg.camera
+        feats = extractor.extract(gray, cfg.orb, cam.height, cam.width)
+        frame = build_frame(feats, depth, sem_mask, cam)
+        refined = sem_mask
+        ok, T_pred = self.tracker.light_track(frame)
+        if ok:
+            refined = self._geometry.geometric_model_correction(
+                depth, T_pred, sem_mask)
+            # Rebuild with the refined mask: keypoint-level culling over the
+            # SAME features (the reference re-extracts only because its
+            # masking is image-level, Tracking.cc:312; SURVEY §7.1).
+            frame = build_frame(feats, depth, refined, cam)
+        T = self.tracker._process_built_frame(frame, timestamp)
+        self._last_refined_mask = refined
+        return T, refined
+
+    def _update_geometry_db(self, gray, depth, mask, rgb):
+        """GeometricModelUpdateDB (Tracking.cc:262, 326 -> Geometry.cc:48-53):
+        insert the frame into the 20-slot ring DB if it became a keyframe."""
+        if self._geometry is None:
+            from gdslam_tpu.masking.geometry import Geometry
+            self._geometry = Geometry(self.cfg)
+        tr = self.tracker
+        is_kf = tr.state == TrackState.OK and tr.frames_since_kf == 0
+        self._geometry.update_db(gray, depth, mask, rgb,
+                                 jnp.asarray(np.asarray(tr.last.T_cw))
+                                 if tr.last is not None else jnp.eye(4),
+                                 is_keyframe=is_kf)
 
     def track_rgbd_gd(self, rgb: np.ndarray, depth: np.ndarray,
-                      mask: Optional[np.ndarray], timestamp: float):
+                      mask: Optional[np.ndarray], timestamp: float,
+                      inpaint: bool = False):
         """TrackRGBD_GD (System.cc:209-260): runs the dense-scene-flow
         GeoMaskMaker to refine the semantic mask before tracking
-        (Tracking::GrabImageRGBD_GD, Tracking.cc:212-269). Returns
-        (T_cw, refined_mask)."""
+        (Tracking::GrabImageRGBD_GD, Tracking.cc:212-269), then updates the
+        geometry ring DB (Tracking.cc:262). Returns (T_cw, refined_mask);
+        with inpaint=True additionally runs background inpainting
+        (Tracking.cc:259) and returns (T_cw, refined_mask, rgb_out,
+        depth_out) — the reference's imRGBOut/imDOut output arguments."""
         from gdslam_tpu.frontend.frame import build_frame
         from gdslam_tpu.masking.geomask import GeoMaskMaker
         gray = _to_gray(rgb, self.cfg.camera.rgb == 1)
@@ -106,7 +183,17 @@ class System:
         frame = build_frame(self._geo.last_feats, depth, refined,
                             self.cfg.camera)
         T = self.tracker._process_built_frame(frame, timestamp)
-        return T, np.asarray(refined)
+        if not inpaint:
+            return T, np.asarray(refined)
+        rgb_j = jnp.asarray(rgb, jnp.float32)
+        if self._geometry is None:
+            from gdslam_tpu.masking.geometry import Geometry
+            self._geometry = Geometry(self.cfg)
+        rgb_out, depth_out = self._geometry.inpaint_frames(
+            rgb_j, depth, refined, jnp.asarray(np.asarray(T)))
+        self._update_geometry_db(gray, depth, refined, rgb_j)
+        return T, np.asarray(refined), np.asarray(rgb_out), \
+            np.asarray(depth_out)
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float, mask=None) -> np.ndarray:
@@ -136,6 +223,8 @@ class System:
         self.tracker = Tracking(self.cfg, kmax=self.tracker.arena.kmax,
                                 pmax=self.tracker.arena.pmax)
         self._geo = None
+        self._geometry = None
+        self._last_refined_mask = None
 
     def shutdown(self):
         """System::Shutdown (System.cc:397-416): drain the in-flight
