@@ -29,13 +29,15 @@ import numpy as np
 
 NUM_CLASSES = 81  # COCO + background (reference coco.py:63-84)
 
-# Movable COCO classes whose instances are masked as dynamic
-# (MaskRCNN.py:83-140: person ... giraffe).
-DYNAMIC_CLASS_IDS = tuple(range(1, 25))  # person..giraffe + vehicles block
+# Movable COCO classes whose instances are masked as dynamic — the EXACT
+# 19-class union of reference MaskRCNN.py:83-146 (person..boat are COCO ids
+# 1-9; bird..giraffe are ids 15-24; ids 10-14 — traffic light, fire hydrant,
+# stop sign, parking meter, bench — are static and NOT masked).
 DYNAMIC_CLASS_NAMES = (
     "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train",
     "truck", "boat", "bird", "cat", "dog", "horse", "sheep", "cow",
-    "elephant", "bear", "zebra", "giraffe", "backpack")
+    "elephant", "bear", "zebra", "giraffe")
+DYNAMIC_CLASS_IDS = tuple(range(1, 10)) + tuple(range(15, 25))
 
 
 class Bottleneck(nn.Module):
@@ -48,17 +50,17 @@ class Bottleneck(nn.Module):
         residual = x
         y = nn.Conv(self.filters, (1, 1), strides=(self.strides,) * 2,
                     use_bias=False)(x)
-        y = nn.BatchNorm(use_running_average=True)(y)
+        y = nn.BatchNorm(use_running_average=True, epsilon=1e-3)(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False)(y)
-        y = nn.BatchNorm(use_running_average=True)(y)
+        y = nn.BatchNorm(use_running_average=True, epsilon=1e-3)(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters * 4, (1, 1), use_bias=False)(y)
-        y = nn.BatchNorm(use_running_average=True)(y)
+        y = nn.BatchNorm(use_running_average=True, epsilon=1e-3)(y)
         if self.projection:
             residual = nn.Conv(self.filters * 4, (1, 1),
                                strides=(self.strides,) * 2, use_bias=False)(x)
-            residual = nn.BatchNorm(use_running_average=True)(residual)
+            residual = nn.BatchNorm(use_running_average=True, epsilon=1e-3)(residual)
         return nn.relu(y + residual)
 
 
@@ -72,7 +74,7 @@ class ResNetFPN(nn.Module):
     def __call__(self, x):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=True)(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         cs = []
@@ -139,7 +141,11 @@ class MaskHead(nn.Module):
 def generate_anchors(image_hw: tuple, strides=(4, 8, 16, 32, 64),
                      scales=(32, 64, 128, 256, 512),
                      ratios=(0.5, 1.0, 2.0)) -> np.ndarray:
-    """[A, 4] anchors (y1, x1, y2, x2) over all FPN levels."""
+    """[A, 4] anchors (y1, x1, y2, x2) over all FPN levels.
+
+    Ordering contract: location-major with `ratios` innermost —
+    (level, y, x, ratio) — matching the RPN head's [B, H, W, A] -> [B, -1]
+    reshape so anchors[i] pairs with logits[i]."""
     H, W = image_hw
     out = []
     for stride, scale in zip(strides, scales):
@@ -147,11 +153,14 @@ def generate_anchors(image_hw: tuple, strides=(4, 8, 16, 32, 64),
         cy = (np.arange(fh) + 0.5) * stride
         cx = (np.arange(fw) + 0.5) * stride
         cy, cx = np.meshgrid(cy, cx, indexing="ij")
+        per_ratio = []
         for r in ratios:
             h = scale / np.sqrt(r)
             w = scale * np.sqrt(r)
-            out.append(np.stack([cy - h / 2, cx - w / 2,
-                                 cy + h / 2, cx + w / 2], -1).reshape(-1, 4))
+            per_ratio.append(np.stack([cy - h / 2, cx - w / 2,
+                                       cy + h / 2, cx + w / 2], -1))
+        # [fh, fw, R, 4] -> location-major, ratio innermost
+        out.append(np.stack(per_ratio, axis=2).reshape(-1, 4))
     return np.concatenate(out, 0).astype(np.float32)
 
 
@@ -246,9 +255,10 @@ class MaskRCNN(nn.Module):
     pre_nms: int = 1024
     post_nms: int = 128
     max_det: int = 32
+    blocks: Sequence[int] = (3, 4, 6, 3)   # ResNet50; smaller for tests
 
     def setup(self):
-        self.backbone = ResNetFPN()
+        self.backbone = ResNetFPN(blocks=self.blocks)
         self.rpn = RPNHead()
         self.box_head = BoxHead()
         self.mask_head = MaskHead()
@@ -257,7 +267,9 @@ class MaskRCNN(nn.Module):
         """image [H, W, 3] float (0..255). Returns dict with fixed-size
         detections: boxes [D,4], classes [D], scores [D], masks [D,28,28]."""
         H, W = self.image_hw
-        x = (image[None] - jnp.asarray([123.7, 116.8, 103.9])) / 58.4
+        # matterport MEAN_PIXEL subtraction only (config.py) — no std
+        # scaling, so converted weights see the distribution they trained on
+        x = image[None] - jnp.asarray([123.7, 116.8, 103.9])
         feats = self.backbone(x)
         anchors = jnp.asarray(generate_anchors((H, W)))
 
@@ -305,6 +317,159 @@ class MaskRCNN(nn.Module):
         det_masks = jax.vmap(lambda m, c: m[:, :, c])(masks, det_cls)
         return {"boxes": det_boxes, "classes": det_cls, "scores": det_scores,
                 "masks": det_masks, "valid": det_valid}
+
+    def train_losses(self, image: jnp.ndarray, gt_boxes: jnp.ndarray,
+                     gt_classes: jnp.ndarray, gt_mask: jnp.ndarray,
+                     gt_valid: jnp.ndarray):
+        """Training losses (model.py's rpn_*_loss + mrcnn_*_loss graphs):
+        RPN objectness/box towards IoU-matched anchors; class/box/mask heads
+        teacher-forced on the ground-truth boxes as ROIs.
+
+        gt_boxes [G, 4] (y1,x1,y2,x2), gt_classes [G], gt_mask [H, W]
+        (instance-presence map), gt_valid [G]."""
+        H, W = self.image_hw
+        x = image[None] - jnp.asarray([123.7, 116.8, 103.9])
+        feats = self.backbone(x)
+        anchors = jnp.asarray(generate_anchors((H, W)))
+        logits, deltas = [], []
+        for f in feats:
+            lg, dl = self.rpn(f)
+            logits.append(lg[0])
+            deltas.append(dl[0])
+        logits = jnp.concatenate(logits)
+        deltas = jnp.concatenate(deltas, axis=0)
+
+        iou = box_iou(anchors, gt_boxes) * gt_valid[None, :]
+        best_iou = jnp.max(iou, axis=1)
+        best_gt = jnp.argmax(iou, axis=1)
+        pos = best_iou > 0.5
+        # every gt's single best anchor is positive even below the threshold
+        top_anchor = jnp.argmax(iou, axis=0)
+        pos = pos.at[top_anchor].set(pos[top_anchor] | gt_valid)
+        neg = best_iou < 0.3
+        cls_tgt = pos.astype(jnp.float32)
+        bce = optax_sigmoid_bce(logits, cls_tgt)
+        n_pos = jnp.maximum(jnp.sum(pos), 1)
+        n_neg = jnp.maximum(jnp.sum(neg), 1)
+        rpn_cls = jnp.sum(jnp.where(pos, bce, 0)) / n_pos + \
+            jnp.sum(jnp.where(neg, bce, 0)) / n_neg
+
+        tgt = box_deltas_inverse(anchors, gt_boxes[best_gt]) / \
+            jnp.asarray([0.1, 0.1, 0.2, 0.2])
+        rpn_box = jnp.sum(jnp.where(pos[:, None],
+                                    huber(deltas - tgt), 0)) / n_pos
+
+        # Heads on gt boxes as ROIs, PLUS negative (background) ROIs — the
+        # class head must learn class-0 for off-object regions or every
+        # proposal scores as foreground at inference (model.py's
+        # detection_targets_graph samples negatives at 2:1 for the same
+        # reason). Negatives: the full image, shifted gt boxes, and fixed
+        # image quadrants.
+        G = gt_boxes.shape[0]
+        shift = jnp.stack([gt_boxes[:, 2] - gt_boxes[:, 0],
+                           jnp.zeros(G), gt_boxes[:, 2] - gt_boxes[:, 0],
+                           jnp.zeros(G)], -1) * 1.5
+        neg_boxes = jnp.concatenate([
+            jnp.asarray([[0.0, 0.0, H, W],
+                         [0.0, 0.0, H / 2, W / 2],
+                         [H / 2, W / 2, H, W]]),
+            jnp.clip(gt_boxes + shift, 0.0,
+                     jnp.asarray([H, W, H, W], jnp.float32)),
+        ], axis=0)
+        # a shifted box overlapping a gt object is not a clean negative
+        neg_iou = jnp.max(box_iou(neg_boxes, gt_boxes) * gt_valid[None, :],
+                          axis=1)
+        neg_valid = neg_iou < 0.3
+        roi_boxes = jnp.concatenate([gt_boxes, neg_boxes], axis=0)
+        roi_classes = jnp.concatenate(
+            [gt_classes, jnp.zeros(neg_boxes.shape[0], gt_classes.dtype)])
+        roi_valid = jnp.concatenate([gt_valid, neg_valid])
+        crops = roi_align(feats, roi_boxes, 7, (H, W))
+        cls_logits, box_d_all = self.box_head(crops)
+        ce = -jax.nn.log_softmax(cls_logits)[
+            jnp.arange(roi_boxes.shape[0]), roi_classes]
+        head_cls = jnp.sum(jnp.where(roi_valid, ce, 0)) / \
+            jnp.maximum(jnp.sum(roi_valid), 1)
+        box_d = box_d_all[:G]
+        # Box refinement: with ROIs == gt boxes the target deltas are zero.
+        d_sel = box_d[jnp.arange(gt_boxes.shape[0]), gt_classes]
+        head_box = jnp.sum(jnp.where(gt_valid[:, None], huber(d_sel), 0)) / \
+            jnp.maximum(jnp.sum(gt_valid) * 4, 1)
+        mask_crops = roi_align(feats, gt_boxes, 14, (H, W))
+        mask_logits = self.mask_head(mask_crops)   # [G, 28, 28, C]
+        m_sel = jax.vmap(lambda m, c: m[:, :, c])(mask_logits, gt_classes)
+        gt28 = jax.vmap(lambda b: crop_mask(gt_mask, b, 28))(gt_boxes)
+        mbce = optax_sigmoid_bce(m_sel, gt28)
+        head_mask = jnp.sum(jnp.where(gt_valid[:, None, None], mbce, 0)) / \
+            jnp.maximum(jnp.sum(gt_valid) * 28 * 28, 1)
+        return rpn_cls + rpn_box + head_cls + head_box + head_mask
+
+
+def optax_sigmoid_bce(logits, labels):
+    """Numerically-stable sigmoid BCE."""
+    return jnp.maximum(logits, 0) - logits * labels + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def huber(x, delta: float = 1.0):
+    a = jnp.abs(x)
+    return jnp.where(a < delta, 0.5 * a * a, delta * (a - 0.5 * delta))
+
+
+def box_deltas_inverse(boxes: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """(dy, dx, log dh, log dw) that move `boxes` onto `targets`."""
+    h = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1e-3)
+    w = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1e-3)
+    th = jnp.maximum(targets[:, 2] - targets[:, 0], 1e-3)
+    tw = jnp.maximum(targets[:, 3] - targets[:, 1], 1e-3)
+    cy = boxes[:, 0] + 0.5 * h
+    cx = boxes[:, 1] + 0.5 * w
+    tcy = targets[:, 0] + 0.5 * th
+    tcx = targets[:, 1] + 0.5 * tw
+    return jnp.stack([(tcy - cy) / h, (tcx - cx) / w,
+                      jnp.log(th / h), jnp.log(tw / w)], -1)
+
+
+def crop_mask(mask: jnp.ndarray, box: jnp.ndarray, out: int) -> jnp.ndarray:
+    """Bilinear crop of a full-image mask to the box, resampled to out^2
+    (the minimask construction of utils.py)."""
+    H, W = mask.shape
+    ys = box[0] + (jnp.arange(out) + 0.5) / out * (box[2] - box[0]) - 0.5
+    xs = box[1] + (jnp.arange(out) + 0.5) / out * (box[3] - box[1]) - 0.5
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 2)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 2)
+    fy = jnp.clip(ys - y0, 0, 1)[:, None]
+    fx = jnp.clip(xs - x0, 0, 1)[None, :]
+    m = mask.astype(jnp.float32)
+    return (m[y0][:, x0] * (1 - fy) * (1 - fx) + m[y0][:, x0 + 1] * (1 - fy) * fx
+            + m[y0 + 1][:, x0] * fy * (1 - fx) + m[y0 + 1][:, x0 + 1] * fy * fx)
+
+
+def train_toy(model: "MaskRCNN", variables, images, boxes, classes, masks,
+              valids, steps: int = 100, lr: float = 1e-3, seed: int = 0):
+    """Few-epoch fit on synthetic data so the semantic stack can produce
+    non-random masks in tests (no pretrained weights are downloadable in
+    this environment). images [B,H,W,3]; boxes [B,G,4]; classes [B,G];
+    masks [B,H,W]; valids [B,G]. Returns trained variables."""
+    import optax
+    tx = optax.adam(lr)
+
+    def loss_fn(params, batch_stats, img, bx, cl, mk, vd):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           img, bx, cl, mk, vd, method=MaskRCNN.train_losses)
+
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    opt_state = tx.init(params)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    B = images.shape[0]
+    for step in range(steps):
+        i = step % B
+        loss, grads = grad_fn(params, batch_stats, images[i], boxes[i],
+                              classes[i], masks[i], valids[i])
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+    return {"params": params, "batch_stats": batch_stats}
 
 
 def paste_masks(det: dict, image_hw: tuple, dynamic_only: bool = True,
@@ -355,14 +520,176 @@ class FlaxSegmenter:
         return np.asarray(self._apply(self.params, jnp.asarray(rgb)))
 
 
-def convert_keras_h5(h5_path: str):
-    """Best-effort mapping of the reference's `mask_rcnn_coco.h5` (matterport
-    Keras layout) into this module's parameter tree. The weight file ships
-    with neither repo and this environment has no network access, so this
-    converter is provided for users who have the file; see the name mapping
-    inside for the layout contract."""
+# ----------------------------------------------------------------------------
+# Keras h5 weight conversion (reference mask_rcnn_coco.h5, matterport layout)
+# ----------------------------------------------------------------------------
+
+# ResNet50 stage layout: (stage number, block letters) -> Bottleneck_i order.
+_RESNET_STAGES = ((2, "abc"), (3, "abcd"), (4, "abcdef"), (5, "abc"))
+
+
+def _h5_weight(f, layer: str, suffix: str):
+    """Fetch a weight array from a Keras-format h5: the group `layer` holds
+    datasets whose names end with `<suffix>:0` (possibly nested one level,
+    e.g. f['conv1']['conv1']['kernel:0'] or f['rpn_model']['rpn_conv_shared/
+    kernel:0'])."""
+    import numpy as _np
+
+    def search(group):
+        hit = None
+        for k in group:
+            item = group[k]
+            if hasattr(item, "shape"):
+                if k.endswith(suffix + ":0") or k == suffix:
+                    return _np.asarray(item)
+            else:
+                hit = hit if hit is not None else search(item)
+                if hit is not None:
+                    return hit
+        return hit
+
+    if layer not in f:
+        raise KeyError(f"h5 layer '{layer}' not found")
+    got = search(f[layer])
+    if got is None:
+        raise KeyError(f"weight '{suffix}:0' not found under layer '{layer}'")
+    return got
+
+
+def _fold_bn(f, bn_layer: str, conv_bias=None, eps: float = 1e-3):
+    """Keras BN weights -> flax (scale, bias, mean, var); a preceding conv
+    bias is folded into the running mean (our convs are bias-free)."""
+    gamma = _h5_weight(f, bn_layer, "gamma")
+    beta = _h5_weight(f, bn_layer, "beta")
+    mean = _h5_weight(f, bn_layer, "moving_mean")
+    var = _h5_weight(f, bn_layer, "moving_variance")
+    if conv_bias is not None:
+        mean = mean - conv_bias
+    return gamma, beta, mean, var
+
+
+def _fold_bn_into_dense(kernel, bias, f, bn_layer: str, eps: float = 1e-3):
+    """Inference-mode BN folded into the preceding dense/conv weights:
+    y = gamma*(Wx+b-mean)/sqrt(var+eps)+beta -> W' x + b'."""
+    gamma, beta, mean, var = _fold_bn(f, bn_layer)
+    s = gamma / np.sqrt(var + eps)
+    return kernel * s, (bias - mean) * s + beta
+
+
+def convert_keras_h5(h5_path: str, image_hw=(480, 640)):
+    """Map the reference's `mask_rcnn_coco.h5` (matterport Keras layout —
+    MaskRCNN.py:15-61 loads it with `load_weights(..., by_name=True)`) into
+    this module's parameter tree. Returns the flax variables dict usable as
+    `FlaxSegmenter(params=...)`.
+
+    Layout contract (per-layer h5 groups with Keras `<name>:0` datasets):
+    conv1/bn_conv1 stem; res{S}{b}_branch{1,2a,2b,2c} + bn counterparts;
+    fpn_c{2..5}p{2..5} + fpn_p{2..5}; rpn_model (rpn_conv_shared,
+    rpn_class_raw [2 logits/anchor -> folded to 1 as fg-bg], rpn_bbox_pred);
+    mrcnn_class_conv1/2+bn (BN folded into the dense weights),
+    mrcnn_class_logits, mrcnn_bbox_fc; mrcnn_mask_conv1..4+bn (folded),
+    mrcnn_mask_deconv, mrcnn_mask. Keras ConvTranspose kernels are
+    [kh,kw,out,in] -> transposed to flax [kh,kw,in,out].
+    """
     import h5py  # gated import: only needed when a weight file exists
-    raise NotImplementedError(
-        "Weight conversion requires mask_rcnn_coco.h5 (not distributable "
-        "here). Open an issue with the h5 layer listing to complete the "
-        "mapping table.")
+
+    model = MaskRCNN(image_hw=image_hw)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros(image_hw + (3,)))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    with h5py.File(h5_path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+
+        def set_conv_bn(scope_p, scope_s, conv_key, bn_key, conv_layer,
+                        bn_layer):
+            k = _h5_weight(root, conv_layer, "kernel")
+            try:
+                b = _h5_weight(root, conv_layer, "bias")
+            except KeyError:
+                b = None
+            scope_p[conv_key]["kernel"] = k.astype(np.float32)
+            g, beta, mean, var = _fold_bn(root, bn_layer, conv_bias=b)
+            scope_p[bn_key]["scale"] = g.astype(np.float32)
+            scope_p[bn_key]["bias"] = beta.astype(np.float32)
+            scope_s[bn_key]["mean"] = mean.astype(np.float32)
+            scope_s[bn_key]["var"] = var.astype(np.float32)
+
+        bb_p, bb_s = params["backbone"], stats["backbone"]
+        set_conv_bn(bb_p, bb_s, "Conv_0", "BatchNorm_0", "conv1", "bn_conv1")
+        blk = 0
+        for stage, letters in _RESNET_STAGES:
+            for j, letter in enumerate(letters):
+                name = f"{stage}{letter}"
+                bp = bb_p[f"Bottleneck_{blk}"]
+                bs = bb_s[f"Bottleneck_{blk}"]
+                for ci, branch in enumerate(("2a", "2b", "2c")):
+                    set_conv_bn(bp, bs, f"Conv_{ci}", f"BatchNorm_{ci}",
+                                f"res{name}_branch{branch}",
+                                f"bn{name}_branch{branch}")
+                if j == 0:  # projection shortcut
+                    set_conv_bn(bp, bs, "Conv_3", "BatchNorm_3",
+                                f"res{name}_branch1", f"bn{name}_branch1")
+                blk += 1
+
+        def set_conv(scope, key, layer, transpose_kernel=False):
+            k = _h5_weight(root, layer, "kernel").astype(np.float32)
+            if transpose_kernel:
+                k = np.transpose(k, (0, 1, 3, 2))
+            scope[key]["kernel"] = k
+            scope[key]["bias"] = _h5_weight(root, layer, "bias").astype(
+                np.float32)
+
+        # FPN lateral 1x1 then output 3x3 convs, in this module's call order.
+        for key, layer in (("Conv_1", "fpn_c5p5"), ("Conv_2", "fpn_c4p4"),
+                           ("Conv_3", "fpn_c3p3"), ("Conv_4", "fpn_c2p2"),
+                           ("Conv_5", "fpn_p2"), ("Conv_6", "fpn_p3"),
+                           ("Conv_7", "fpn_p4"), ("Conv_8", "fpn_p5")):
+            set_conv(bb_p, key, layer)
+
+        # RPN: shared conv; class logits folded 2->1 (fg - bg per anchor).
+        rpn_p = params["rpn"]
+        set_conv(rpn_p, "Conv_0", "rpn_conv_shared")
+        kc = _h5_weight(root, "rpn_class_raw", "kernel").astype(np.float32)
+        bc = _h5_weight(root, "rpn_class_raw", "bias").astype(np.float32)
+        rpn_p["Conv_1"]["kernel"] = kc[..., 1::2] - kc[..., 0::2]
+        rpn_p["Conv_1"]["bias"] = bc[1::2] - bc[0::2]
+        set_conv(rpn_p, "Conv_2", "rpn_bbox_pred")
+
+        # Box head: matterport's 7x7-valid + 1x1 convs == dense layers over
+        # the flattened ROI; their BN layers are folded in (inference mode).
+        bh = params["box_head"]
+        k1 = _h5_weight(root, "mrcnn_class_conv1", "kernel").astype(np.float32)
+        b1 = _h5_weight(root, "mrcnn_class_conv1", "bias").astype(np.float32)
+        k1 = k1.reshape(-1, k1.shape[-1])
+        k1, b1 = _fold_bn_into_dense(k1, b1, root, "mrcnn_class_bn1")
+        bh["Dense_0"]["kernel"], bh["Dense_0"]["bias"] = k1, b1
+        k2 = _h5_weight(root, "mrcnn_class_conv2", "kernel").astype(np.float32)
+        b2 = _h5_weight(root, "mrcnn_class_conv2", "bias").astype(np.float32)
+        k2 = k2.reshape(-1, k2.shape[-1])
+        k2, b2 = _fold_bn_into_dense(k2, b2, root, "mrcnn_class_bn2")
+        bh["Dense_1"]["kernel"], bh["Dense_1"]["bias"] = k2, b2
+        bh["Dense_2"]["kernel"] = _h5_weight(
+            root, "mrcnn_class_logits", "kernel").astype(np.float32)
+        bh["Dense_2"]["bias"] = _h5_weight(
+            root, "mrcnn_class_logits", "bias").astype(np.float32)
+        bh["Dense_3"]["kernel"] = _h5_weight(
+            root, "mrcnn_bbox_fc", "kernel").astype(np.float32)
+        bh["Dense_3"]["bias"] = _h5_weight(
+            root, "mrcnn_bbox_fc", "bias").astype(np.float32)
+
+        # Mask head: conv+BN folded; deconv kernel axes swapped for flax.
+        mh = params["mask_head"]
+        for i in range(4):
+            k = _h5_weight(root, f"mrcnn_mask_conv{i+1}", "kernel").astype(
+                np.float32)
+            b = _h5_weight(root, f"mrcnn_mask_conv{i+1}", "bias").astype(
+                np.float32)
+            k, b = _fold_bn_into_dense(k, b, root, f"mrcnn_mask_bn{i+1}")
+            mh[f"Conv_{i}"]["kernel"], mh[f"Conv_{i}"]["bias"] = k, b
+        set_conv(mh, "ConvTranspose_0", "mrcnn_mask_deconv",
+                 transpose_kernel=True)
+        set_conv(mh, "Conv_4", "mrcnn_mask")
+
+    to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    return {"params": to_jnp(params), "batch_stats": to_jnp(stats)}

@@ -104,3 +104,170 @@ class TestMaskNetBridge:
         s = SegmentDynObject(seg)
         mask, labels = s.get_segmentation_label(np.zeros((32, 32, 3), np.float32))
         assert labels.max() == 2   # two instances
+
+
+class TestWeightConversion:
+    """convert_keras_h5 against a synthetically-written h5 in the matterport
+    layout (same layer naming + Keras weight conventions: conv biases, raw
+    BN params, 2-logit RPN class head, [kh,kw,out,in] deconv kernels)."""
+
+    @pytest.fixture(scope="class")
+    def h5_and_vars(self, tmp_path_factory):
+        import h5py
+        from gdslam_tpu.models.maskrcnn import _RESNET_STAGES
+
+        hw = (128, 160)
+        model = mrc.MaskRCNN(image_hw=hw)
+        variables = model.init(jax.random.PRNGKey(1), jnp.zeros(hw + (3,)))
+        params = variables["params"]
+        rng = np.random.default_rng(7)
+
+        path = str(tmp_path_factory.mktemp("wts") / "mask_rcnn_coco.h5")
+        raw = {}
+
+        def put(f, layer, **arrays):
+            g = f.create_group(layer) if layer not in f else f[layer]
+            for name, arr in arrays.items():
+                g.create_dataset(f"{name}:0", data=arr.astype(np.float32))
+                raw[(layer, name)] = arr.astype(np.float32)
+
+        def rand(shape):
+            return rng.normal(0, 0.05, shape)
+
+        def put_conv_bn(f, conv_layer, bn_layer, kshape):
+            put(f, conv_layer, kernel=rand(kshape), bias=rand(kshape[-1:]))
+            c = kshape[-1]
+            put(f, bn_layer, gamma=1 + 0.1 * rand((c,)), beta=rand((c,)),
+                moving_mean=rand((c,)),
+                moving_variance=np.abs(1 + 0.1 * rand((c,))))
+
+        with h5py.File(path, "w") as f:
+            bb = params["backbone"]
+            put_conv_bn(f, "conv1", "bn_conv1", bb["Conv_0"]["kernel"].shape)
+            blk = 0
+            for stage, letters in _RESNET_STAGES:
+                for j, letter in enumerate(letters):
+                    bp = bb[f"Bottleneck_{blk}"]
+                    for ci, br in enumerate(("2a", "2b", "2c")):
+                        put_conv_bn(f, f"res{stage}{letter}_branch{br}",
+                                    f"bn{stage}{letter}_branch{br}",
+                                    bp[f"Conv_{ci}"]["kernel"].shape)
+                    if j == 0:
+                        put_conv_bn(f, f"res{stage}{letter}_branch1",
+                                    f"bn{stage}{letter}_branch1",
+                                    bp["Conv_3"]["kernel"].shape)
+                    blk += 1
+            for key, layer in (("Conv_1", "fpn_c5p5"), ("Conv_2", "fpn_c4p4"),
+                               ("Conv_3", "fpn_c3p3"), ("Conv_4", "fpn_c2p2"),
+                               ("Conv_5", "fpn_p2"), ("Conv_6", "fpn_p3"),
+                               ("Conv_7", "fpn_p4"), ("Conv_8", "fpn_p5")):
+                ks = bb[key]["kernel"].shape
+                put(f, layer, kernel=rand(ks), bias=rand(ks[-1:]))
+            put(f, "rpn_conv_shared", kernel=rand((3, 3, 256, 512)),
+                bias=rand((512,)))
+            put(f, "rpn_class_raw", kernel=rand((1, 1, 512, 6)),
+                bias=rand((6,)))
+            put(f, "rpn_bbox_pred", kernel=rand((1, 1, 512, 12)),
+                bias=rand((12,)))
+            put_conv_bn(f, "mrcnn_class_conv1", "mrcnn_class_bn1",
+                        (7, 7, 256, 1024))
+            put_conv_bn(f, "mrcnn_class_conv2", "mrcnn_class_bn2",
+                        (1, 1, 1024, 1024))
+            put(f, "mrcnn_class_logits", kernel=rand((1024, 81)),
+                bias=rand((81,)))
+            put(f, "mrcnn_bbox_fc", kernel=rand((1024, 324)),
+                bias=rand((324,)))
+            for i in range(1, 5):
+                put_conv_bn(f, f"mrcnn_mask_conv{i}", f"mrcnn_mask_bn{i}",
+                            (3, 3, 256, 256))
+            put(f, "mrcnn_mask_deconv", kernel=rand((2, 2, 256, 256)),
+                bias=rand((256,)))
+            put(f, "mrcnn_mask", kernel=rand((1, 1, 256, 81)),
+                bias=rand((81,)))
+
+        converted = mrc.convert_keras_h5(path, image_hw=hw)
+        return raw, converted, variables, hw
+
+    def test_stem_and_bias_fold(self, h5_and_vars):
+        raw, conv, init_vars, hw = h5_and_vars
+        p = conv["params"]["backbone"]
+        s = conv["batch_stats"]["backbone"]
+        np.testing.assert_allclose(p["Conv_0"]["kernel"],
+                                   raw[("conv1", "kernel")], rtol=1e-6)
+        # conv bias folded into the BN running mean
+        np.testing.assert_allclose(
+            s["BatchNorm_0"]["mean"],
+            raw[("bn_conv1", "moving_mean")] - raw[("conv1", "bias")],
+            rtol=1e-5)
+        # conversion actually replaced the random init
+        assert not np.allclose(p["Conv_0"]["kernel"],
+                               init_vars["params"]["backbone"]["Conv_0"]["kernel"])
+
+    def test_rpn_two_logit_fold(self, h5_and_vars):
+        raw, conv, _, _ = h5_and_vars
+        k = raw[("rpn_class_raw", "kernel")]
+        got = np.asarray(conv["params"]["rpn"]["Conv_1"]["kernel"])
+        np.testing.assert_allclose(got, k[..., 1::2] - k[..., 0::2], rtol=1e-6)
+
+    def test_box_head_bn_fold_function_equivalence(self, h5_and_vars):
+        """Folded dense must equal conv+bias+BN applied sequentially."""
+        raw, conv, _, _ = h5_and_vars
+        x = np.random.default_rng(3).normal(0, 1, (2, 7 * 7 * 256)).astype(
+            np.float32)
+        k = raw[("mrcnn_class_conv1", "kernel")].reshape(-1, 1024)
+        b = raw[("mrcnn_class_conv1", "bias")]
+        g = raw[("mrcnn_class_bn1", "gamma")]
+        beta = raw[("mrcnn_class_bn1", "beta")]
+        mean = raw[("mrcnn_class_bn1", "moving_mean")]
+        var = raw[("mrcnn_class_bn1", "moving_variance")]
+        ref = (x @ k + b - mean) / np.sqrt(var + 1e-3) * g + beta
+        d0 = conv["params"]["box_head"]["Dense_0"]
+        got = x @ np.asarray(d0["kernel"]) + np.asarray(d0["bias"])
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_converted_model_runs(self, h5_and_vars):
+        _, conv, _, hw = h5_and_vars
+        model = mrc.MaskRCNN(image_hw=hw)
+        det = model.apply(conv, jnp.full(hw + (3,), 128.0))
+        assert bool(jnp.all(jnp.isfinite(det["boxes"])))
+
+
+class TestTrainableSegmenter:
+    def test_toy_training_segments_disks(self):
+        """Few-epoch fit on synthetic disk instances: the trained pipeline
+        (RPN proposals -> heads -> paste_masks) must localize the disk —
+        segmentation QUALITY, not just shapes."""
+        hw = (96, 128)
+        rng = np.random.default_rng(0)
+
+        def make_sample(cy, cx, r):
+            img = rng.uniform(0, 60, hw + (3,)).astype(np.float32)
+            yy, xx = np.mgrid[0:hw[0], 0:hw[1]]
+            disk = ((yy - cy) ** 2 + (xx - cx) ** 2) < r * r
+            img[disk] = np.asarray([220.0, 40.0, 40.0]) + \
+                rng.uniform(-10, 10, (disk.sum(), 3))
+            box = np.asarray([cy - r, cx - r, cy + r, cx + r], np.float32)
+            return img, box, disk.astype(np.float32)
+
+        samples = [make_sample(cy, cx, r) for cy, cx, r in
+                   ((40, 50, 18), (55, 80, 15), (35, 90, 20), (60, 40, 16))]
+        images = jnp.asarray(np.stack([s[0] for s in samples]))
+        boxes = jnp.asarray(np.stack([s[1] for s in samples]))[:, None, :]
+        classes = jnp.ones((4, 1), jnp.int32)
+        masks = jnp.asarray(np.stack([s[2] for s in samples]))
+        valids = jnp.ones((4, 1), bool)
+
+        model = mrc.MaskRCNN(image_hw=hw, blocks=(1, 1, 1, 1),
+                             pre_nms=256, post_nms=32, max_det=8)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros(hw + (3,)))
+        trained = mrc.train_toy(model, variables, images, boxes, classes,
+                                masks, valids, steps=150, lr=2e-3)
+        det = model.apply(trained, images[0], score_th=0.3)
+        seg = np.asarray(mrc.paste_masks(det, hw, dynamic_only=True,
+                                         mask_th=0.5))
+        gt = np.asarray(masks[0]) > 0.5
+        pred = seg > 0.5
+        inter = (gt & pred).sum()
+        union = (gt | pred).sum()
+        assert union > 0
+        assert inter / union > 0.25
