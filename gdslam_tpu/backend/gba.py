@@ -31,7 +31,8 @@ from gdslam_tpu.core import lie
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _all_edge_terms(arena: ma.MapArena, poses, pts, K, bf, sf):
+def _all_edge_terms(arena: ma.MapArena, poses, pts, K, bf, sf,
+                    inlier=None):
     """Residuals/weights for every (keyframe, keypoint) observation."""
     fx, fy, cx, cy = K
     obs = arena.kf_obs                                  # [A, N]
@@ -57,14 +58,26 @@ def _all_edge_terms(arena: ma.MapArena, poses, pts, K, bf, sf):
     e2 = jnp.sum(r * r, -1) * inv_sigma2
     w_huber = jnp.where(e2 <= chi2_th, 1.0,
                         jnp.sqrt(chi2_th / jnp.maximum(e2, 1e-12)))
+    if inlier is not None:
+        valid = valid & inlier
     w = jnp.where(valid, w_huber * inv_sigma2, 0.0)
-    return Xc, r, w, iz, is_stereo, slot
+    return Xc, r, w, iz, is_stereo, slot, e2, chi2_th, valid
 
 
-@partial(jax.jit, static_argnums=(1, 2))
+@partial(jax.jit, static_argnums=(1, 2, 3))
 def global_bundle_adjustment(arena: ma.MapArena, cfg: SlamConfig,
-                             sweeps: int = 4) -> ma.MapArena:
-    """Alternating pose/point refinement over the whole map."""
+                             sweeps: int = 4,
+                             gate_outliers: bool = False) -> ma.MapArena:
+    """Alternating pose/point refinement over the whole map.
+
+    gate_outliers: chi2-gate the edge set against the INITIAL state before
+    optimizing. Use when the initialization is trustworthy (post-loop, after
+    the essential-graph correction): drift-inconsistent seam observations
+    are then outliers to be excluded, not constraints (the reference cleans
+    them via SearchAndFuse before its loop GBA, LoopClosing.cc:525-560).
+    Leave False for generic refinement — on a globally-perturbed map every
+    residual is large and gating would discard the constraints recovery
+    needs."""
     cam = cfg.camera
     K = (cam.fx, cam.fy, cam.cx, cam.cy)
     fx, fy = cam.fx, cam.fy
@@ -72,10 +85,10 @@ def global_bundle_adjustment(arena: ma.MapArena, cfg: SlamConfig,
     sf = float(cfg.orb.scale_factor)
 
     def sweep(_, state):
-        poses, pts = state
+        poses, pts, inlier = state
         # ---- pose half-step: per-keyframe GN, points fixed ----
-        Xc, r, w, iz, is_stereo, slot = _all_edge_terms(
-            arena, poses, pts, K, bf, sf)
+        Xc, r, w, iz, is_stereo, slot, e2, chi2_th, _ = _all_edge_terms(
+            arena, poses, pts, K, bf, sf, inlier)
         iz2 = iz * iz
         zero = jnp.zeros_like(iz)
         du = jnp.stack([fx * iz, zero, -fx * Xc[..., 0] * iz2], -1)
@@ -98,8 +111,8 @@ def global_bundle_adjustment(arena: ma.MapArena, cfg: SlamConfig,
         poses = jax.vmap(lambda x, T: lie.se3_exp(x) @ T)(dx, poses)
 
         # ---- point half-step: closed-form 3x3 GN, poses fixed ----
-        Xc, r, w, iz, is_stereo, slot = _all_edge_terms(
-            arena, poses, pts, K, bf, sf)
+        Xc, r, w, iz, is_stereo, slot, e2, chi2_th, _ = _all_edge_terms(
+            arena, poses, pts, K, bf, sf, inlier)
         iz2 = iz * iz
         du = jnp.stack([fx * iz, zero, -fx * Xc[..., 0] * iz2], -1)
         dv = jnp.stack([zero, fy * iz, -fy * Xc[..., 1] * iz2], -1)
@@ -118,10 +131,25 @@ def global_bundle_adjustment(arena: ma.MapArena, cfg: SlamConfig,
         dp = -jnp.einsum("pij,pj->pi", _inv3x3(Hpp), bp, precision=_PREC)
         dp = jnp.where(jnp.isfinite(dp), dp, 0.0) * arena.pt_valid[:, None]
         pts = pts + dp
-        return poses, pts
+        return poses, pts, inlier
 
-    poses, pts = jax.lax.fori_loop(0, sweeps, sweep,
-                                   (arena.kf_pose, arena.pt_pos))
+    def gated_inlier(poses, pts, chi2_factor):
+        _, _, _, _, _, _, e2, chi2_th, valid = _all_edge_terms(
+            arena, poses, pts, K, bf, sf)
+        return valid & (e2 <= chi2_factor * chi2_th)
+
+    if gate_outliers:
+        inlier = gated_inlier(arena.kf_pose, arena.pt_pos, 4.0)
+        h1 = max(sweeps // 2, 1)
+        poses, pts, _ = jax.lax.fori_loop(
+            0, h1, sweep, (arena.kf_pose, arena.pt_pos, inlier))
+        inlier = gated_inlier(poses, pts, 1.0)
+        poses, pts, _ = jax.lax.fori_loop(h1, sweeps, sweep,
+                                          (poses, pts, inlier))
+    else:
+        all_in = jnp.ones(arena.kf_obs.shape, bool)
+        poses, pts, _ = jax.lax.fori_loop(
+            0, sweeps, sweep, (arena.kf_pose, arena.pt_pos, all_in))
     return arena._replace(kf_pose=poses, pt_pos=pts)
 
 

@@ -62,6 +62,15 @@ class LoopCloser:
         self._consistent: dict[int, int] = {}   # candidate group -> streak
         self.loops: list[tuple[int, int, np.ndarray]] = []  # (cur, cand, T_meas)
 
+    def reset(self):
+        """Clear the keyframe database + consistency state (the LoopClosing
+        side of System::Reset -> KeyFrameDatabase::clear)."""
+        self.db = kdb.new_db(self.db.words.shape[0],
+                             self.cfg.orb.n_features, self.vocab.n_leaves)
+        self.last_loop_kf = -MIN_KF_GAP
+        self._consistent = {}
+        self.loops = []
+
     # ------------------------------------------------------------------ add
     def add_keyframe(self, arena: ma.MapArena, kf_id: int):
         words = voc.transform(arena.kf_desc[kf_id], self.vocab.centers,
@@ -194,7 +203,8 @@ class LoopCloser:
         # LoopClosing.cc:645-750) — synchronous here; the work is a handful
         # of device programs rather than a CPU thread.
         from gdslam_tpu.backend import gba
-        arena = gba.global_bundle_adjustment(arena, self.cfg)
+        arena = gba.global_bundle_adjustment(arena, self.cfg,
+                                             gate_outliers=True)
 
         self.last_loop_kf = kf_id
         self.loops.append((kf_id, cand, np.asarray(loop_T[0])))

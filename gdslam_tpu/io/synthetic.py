@@ -71,6 +71,10 @@ _PLANES = (
     ((0.0, 1.0, 0.0), -1.25, 3.0),  # ceiling    y = -1.25
     ((1.0, 0.0, 0.0), 1.7, 4.0),    # right wall x = 1.7
     ((1.0, 0.0, 0.0), -1.7, 5.0),   # left wall  x = -1.7
+    ((0.12, -0.08, 0.989), -2.3, 6.0),  # tilted front wall z ~= -2.3 (behind
+                                        # the start pose; only visible to
+                                        # looking-backwards trajectories such
+                                        # as the loop-closure circuit)
 )
 
 # Static clutter: textured spheres at varied depths so every viewpoint sees
@@ -83,6 +87,14 @@ _STATIC_SPHERES = (
     ((-0.9, -0.6, 2.3), 0.38, 14.0),
     ((0.55, 0.5, 2.45), 0.3, 15.0),
     ((-0.15, -0.2, 1.05), 0.16, 16.0),
+    # back hemisphere (z < 0): depth diversity for looking-backwards views
+    ((0.6, 0.4, -1.4), 0.3, 17.0),
+    ((-0.75, -0.3, -1.8), 0.35, 18.0),
+    ((0.05, 0.55, -0.9), 0.2, 19.0),
+    ((-0.4, 0.1, -2.0), 0.28, 20.0),
+    # side pockets near the left/right walls for grazing-view anchoring
+    ((1.3, 0.2, 0.6), 0.24, 21.0),
+    ((-1.25, -0.4, 0.9), 0.26, 22.0),
 )
 
 SPHERE_RADIUS = 0.35
@@ -103,6 +115,24 @@ def gt_pose(frame_idx, fps: float = 30.0) -> jnp.ndarray:
         0.03 * jnp.sin(0.7 * t + 0.9),
     ])
     return lie.se3_exp(jnp.concatenate([trans, rot]))
+
+
+def gt_pose_loop(frame_idx, n_frames: int) -> jnp.ndarray:
+    """Closed-loop revisit trajectory for loop-closure tests: a full yaw
+    circuit with a small orbit, returning exactly to the initial view at
+    frame n_frames (fr2_desk-style revisit; BASELINE config 4)."""
+    th = 2.0 * jnp.pi * jnp.asarray(frame_idx, jnp.float32) / n_frames
+    trans = jnp.stack([0.25 * jnp.sin(th), 0.05 * jnp.sin(2 * th),
+                       0.15 * (1 - jnp.cos(th))])
+    rot = jnp.stack([0.03 * jnp.sin(2 * th), th, jnp.zeros_like(th)])
+    # compose yaw exactly (se3_exp couples trans/rot; keep it simple: build
+    # R_y(th) directly with the orbital translation)
+    cy, sy = jnp.cos(rot[1]), jnp.sin(rot[1])
+    cx, sx = jnp.cos(rot[0]), jnp.sin(rot[0])
+    Ry = jnp.asarray([[cy, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy]])
+    Rx = jnp.asarray([[1.0, 0.0, 0.0], [0.0, cx, -sx], [0.0, sx, cx]])
+    T = jnp.eye(4).at[:3, :3].set(Ry @ Rx).at[:3, 3].set(trans)
+    return T
 
 
 def sphere_center(frame_idx, fps: float = 30.0) -> jnp.ndarray:
