@@ -138,6 +138,70 @@ def l1_score(v: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - 0.5 * jnp.sum(jnp.abs(v - w), axis=-1)
 
 
+def load_orbvoc_text(path: str) -> Vocabulary:
+    """Load a DBoW2 text vocabulary (ORBvoc.txt — the file ORB-SLAM2 ships
+    and the reference loads via TemplatedVocabulary::loadFromTextFile,
+    TemplatedVocabulary.h:1338, System.cc:50-58).
+
+    Format: header `k L scoring weighting`; then one node per line in
+    parent-before-child order: `parent_id is_leaf d0..d31 weight`.
+
+    DBoW2 trees can be INCOMPLETE (nodes with fewer than k children, leaves
+    above depth L). This framework's `transform` walks a complete level-major
+    k-ary array, so missing children inherit their parent's descriptor —
+    the walk then lands on an equivalent leaf and word ids stay consistent
+    within the framework (absolute DBoW2 word ids are not preserved; all
+    consumers are in-framework)."""
+    with open(path) as f:
+        header = f.readline().split()
+        k, levels = int(header[0]), int(header[1])
+        parents: list[int] = [-1]        # node 0 = root
+        descs: list[np.ndarray] = [np.zeros(32, np.uint8)]
+        children: dict[int, list[int]] = {0: []}
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2 + 32:
+                continue
+            pid = int(parts[0])
+            d = np.asarray([int(float(x)) for x in parts[2:2 + 32]], np.uint8)
+            nid = len(parents)
+            parents.append(pid)
+            descs.append(d)
+            children.setdefault(pid, []).append(nid)
+            children.setdefault(nid, [])
+
+    n_nodes = sum(k ** (l + 1) for l in range(levels))
+    centers = np.zeros((n_nodes, 32), np.uint8)
+    # BFS over the complete tree, tracking the real node each slot maps to.
+    slot_real = [-1] * n_nodes          # real node id per complete slot
+    off = 0
+    # level 0: children of root
+    root_kids = children.get(0, [])
+    prev = []
+    for i in range(k):
+        real = root_kids[i] if i < len(root_kids) else -1
+        slot = off + i
+        slot_real[slot] = real
+        centers[slot] = descs[real] if real >= 0 else descs[0]
+        prev.append(slot)
+    for lv in range(1, levels):
+        off += k ** lv
+        new_prev = []
+        for pslot in prev:
+            p_in_level = pslot - (off - k ** lv)
+            real_p = slot_real[pslot]
+            kids = children.get(real_p, []) if real_p >= 0 else []
+            for i in range(k):
+                slot = off + p_in_level * k + i
+                real = kids[i] if i < len(kids) else -1
+                slot_real[slot] = real
+                centers[slot] = descs[real] if real >= 0 \
+                    else centers[pslot]   # inherit: walk stays consistent
+                new_prev.append(slot)
+        prev = new_prev
+    return Vocabulary(centers=jnp.asarray(centers), k=k, levels=levels)
+
+
 def save(vocab: Vocabulary, path: str) -> None:
     np.savez_compressed(path, centers=np.asarray(vocab.centers),
                         k=vocab.k, levels=vocab.levels)
