@@ -1,6 +1,10 @@
 """Benchmark: end-to-end tracked frames/sec on real TPU hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines: {"metric", "value", "unit", "vs_baseline"}.
+Line 1: the plain tracking path (all-static masks, pipelined).
+Line 2: the GD path (TrackRGBD_GD — dense scene-flow mask refinement before
+tracking, Tracking.cc:212-269).
+
 Baseline: the reference's implied real-time operating point is 30 fps camera
 rate (BASELINE.md; reference rgbd_tum.cc:178-185 paces to camera rate) —
 vs_baseline = fps / 30.
@@ -14,43 +18,89 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
+def bench_tracking(frames, cfg):
     import jax
     import jax.numpy as jnp
 
+    from gdslam_tpu.system.tracking import Tracking
+
+    cam = cfg.camera
+    ones = jnp.ones((cam.height, cam.width))
+    tracker = Tracking(cfg, kmax=256, pmax=65536, pipeline=True)
+    # Each host sync costs a ~28 ms tunnel round trip; committing every 6
+    # frames keeps the state machine within the reference's LocalMapping
+    # latency envelope while halving the sync tax.
+    tracker.commit_every = 6
+    # Warm-up must cover EVERY compile path: init, motion model, local map,
+    # keyframe program with and without BA, and keyframe culling (first
+    # triggered at the 8th keyframe) — a compile landing inside the timed
+    # window costs ~1.3 s and wrecks the measurement.
+    i = 0
+    while i < len(frames) - 60 and len(tracker.kf_timestamps) < 10:
+        tracker.process(frames[i].gray, frames[i].depth, ones, i / 30.0)
+        i += 1
+    tracker.flush()
+    jax.block_until_ready(tracker.last.T_cw)
+
+    n_frames = 60
+    t0 = time.perf_counter()
+    for k in range(i, i + n_frames):
+        tracker.process(frames[k].gray, frames[k].depth, ones, k / 30.0)
+    tracker.flush()
+    jax.block_until_ready(tracker.last.T_cw)
+    return n_frames / (time.perf_counter() - t0)
+
+
+def bench_gd(frames, cfg):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gdslam_tpu.system.slam import System
+
+    slam = System(cfg)
+    # warm-up (compiles GD flow + tracking paths)
+    i = 0
+    while i < len(frames) - 30 and slam.keyframe_count < 6:
+        fr = frames[i]
+        slam.track_rgbd_gd(np.asarray(fr.rgb), np.asarray(fr.depth), None,
+                           i / 30.0)
+        i += 1
+
+    n_frames = 30
+    t0 = time.perf_counter()
+    for k in range(i, i + n_frames):
+        fr = frames[k]
+        slam.track_rgbd_gd(np.asarray(fr.rgb), np.asarray(fr.depth), None,
+                           k / 30.0)
+    jax.block_until_ready(slam.tracker.last.T_cw)
+    return n_frames / (time.perf_counter() - t0)
+
+
+def main():
     from gdslam_tpu.config import SlamConfig
     from gdslam_tpu.io import synthetic
-    from gdslam_tpu.system.tracking import Tracking
 
     cfg = SlamConfig()
     cam = cfg.camera
-    # Warmup must cover every compile path (incl. keyframe insertion + local
-    # BA, which first trigger around frame 11).
-    n_warm, n_frames = 16, 60
-
     frames = [synthetic.render_frame(i, cam, with_dynamic=False)
-              for i in range(n_warm + n_frames)]
-    ones = jnp.ones((cam.height, cam.width))
-    tracker = Tracking(cfg, kmax=256, pmax=65536, pipeline=True)
+              for i in range(140)]
 
-    # Warm-up: triggers all compilations (init, motion model, local map, KF).
-    for i in range(n_warm):
-        tracker.process(frames[i].gray, frames[i].depth, ones, i / 30.0)
-
-    t0 = time.perf_counter()
-    for i in range(n_warm, n_warm + n_frames):
-        tracker.process(frames[i].gray, frames[i].depth, ones, i / 30.0)
-    tracker.flush()
-    jax.block_until_ready(tracker.last.T_cw)
-    dt = time.perf_counter() - t0
-
-    fps = n_frames / dt
+    fps = bench_tracking(frames, cfg)
     print(json.dumps({
         "metric": "tracked_frames_per_sec",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
-    }))
+    }), flush=True)
+
+    fps_gd = bench_gd(frames, cfg)
+    print(json.dumps({
+        "metric": "gd_tracked_frames_per_sec",
+        "value": round(fps_gd, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps_gd / 30.0, 3),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,7 @@ class LocalBAProblem(NamedTuple):
     pt_ids: jnp.ndarray      # [P] arena point ids
     pt_mask: jnp.ndarray     # [P] valid
     obs_slot: jnp.ndarray    # [L+F, N] local point slot per keypoint (-1)
+    inv_idx: jnp.ndarray     # [L+F, P] keypoint index observing slot p (N=none)
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -87,8 +88,20 @@ def build_problem(arena: ma.MapArena, kf_id, cfg: SlamConfig) -> LocalBAProblem:
     rows = jnp.arange(A)[:, None]
     dup = jnp.zeros_like(dup_sorted).at[rows, order].set(dup_sorted)
     obs_slot = jnp.where(dup, -1, obs_slot)
+    # Inverse map [A, P]: which keypoint row observes point slot p in camera
+    # a (N = none). Built ONCE here so every GN iteration can GATHER the
+    # per-point blocks instead of scatter-adding them — scatters into the
+    # [A, P, 30] accumulation buffers dominated BA time on the TPU (~44 ms
+    # of a 52 ms solve: serialized scatter + inter-iteration buffer copies).
+    N = obs_slot.shape[1]
+    slot_pos = jnp.where(obs_slot >= 0, obs_slot, P_CAP)
+    inv_idx = jnp.full((A, P_CAP + 1), N, jnp.int32).at[
+        jnp.arange(A)[:, None], slot_pos].set(
+        jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (A, N))
+    )[:, :P_CAP]
     return LocalBAProblem(kf_ids=kf_ids, kf_mask=kf_mask, pt_ids=pt_ids,
-                          pt_mask=pt_mask, obs_slot=obs_slot)
+                          pt_mask=pt_mask, obs_slot=obs_slot,
+                          inv_idx=inv_idx)
 
 
 def _edge_terms(poses, pts, prob: LocalBAProblem, uv, ur, inv_sigma2, K, bf):
@@ -169,33 +182,30 @@ def run_local_ba(arena: ma.MapArena, prob: LocalBAProblem, cfg: SlamConfig,
         # Camera blocks (only first L optimized).
         Hcc = jnp.einsum("anri,an,anrj->aij", Jc, w, Jc, precision=_PREC)[:L]
         bc = jnp.einsum("anri,an,anr->ai", Jc, w, r, precision=_PREC)[:L]
-        # Point blocks + camera-point coupling. A flat scatter-add over the
-        # [A*N] -> [P] slot map serializes on the TPU (~3.7 ms/GN-iter
-        # profiled) because duplicate indices force atomic ordering. But a
-        # keyframe observes each point through at most ONE keypoint, so
-        # per-camera the slots are unique (duplicates from point merges are
-        # masked below) — scatter each camera row with unique_indices=True
-        # (vectorizable), routing masked edges to distinct scratch slots.
+        # Point blocks: one flat scatter-add over all [A*N] edges into the
+        # small [P,12] accumulator (cheap — output fits VMEM-scale tiles).
         JpwJp = jnp.einsum("anri,an,anrj->anij", Jp, w, Jp,
                            precision=_PREC).reshape(A, -1, 9)
         Jpwr = jnp.einsum("anri,an,anr->ani", Jp, w, r, precision=_PREC)
-        JcwJp = jnp.einsum("anri,an,anrj->anij", Jc, w, Jp,
-                           precision=_PREC).reshape(A, -1, 18)
-        packed = jnp.concatenate([JpwJp, Jpwr, JcwJp], axis=-1)  # [A,N,30]
-        Nn = packed.shape[1]
-        edge_ok = prob.obs_slot >= 0
-        slot_u = jnp.where(edge_ok, slot,
-                           P_CAP + jnp.arange(Nn, dtype=jnp.int32)[None])
-
-        def cam_scatter(e, s):
-            return jnp.zeros((P_CAP + Nn, 30)).at[s].add(
-                e, unique_indices=True)[:P_CAP]
-
-        per_cam = jax.vmap(cam_scatter)(packed, slot_u)          # [A,P,30]
-        acc = jnp.sum(per_cam[:, :, :12], axis=0)
+        pt_blocks = jnp.concatenate([JpwJp, Jpwr], axis=-1)      # [A,N,12]
+        flat_slot = jnp.where(prob.obs_slot >= 0, slot, P_CAP).reshape(-1)
+        acc = jnp.zeros((P_CAP + 1, 12)).at[flat_slot].add(
+            pt_blocks.reshape(-1, 12))[:P_CAP]
         Hpp = acc[:, :9].reshape(P_CAP, 3, 3) + damping * jnp.eye(3)
         bp = acc[:, 9:12]
-        Wap = per_cam[:L, :, 12:].reshape(L, P_CAP, 6, 3)
+        # Camera-point coupling W: needed only for the L optimized cameras.
+        # A keyframe observes each point through at most ONE keypoint
+        # (duplicates masked in build_problem), so [L,N] -> [L,P] is a pure
+        # permutation: GATHER through the precomputed inverse index — a
+        # scatter here serialized and forced large buffer copies every GN
+        # iteration (~44 ms of a 52 ms solve).
+        JcwJp = jnp.einsum("anri,an,anrj->anij", Jc[:L], w[:L], Jp[:L],
+                           precision=_PREC).reshape(L, -1, 18)
+        JcwJp_ext = jnp.concatenate(
+            [JcwJp, jnp.zeros((L, 1, 18))], axis=1)              # row N = none
+        Wap = jnp.take_along_axis(
+            JcwJp_ext, prob.inv_idx[:L, :, None], axis=1
+        ).reshape(L, P_CAP, 6, 3)
         Hpp_inv = _inv3x3(Hpp)
         # Schur complement S = Hcc - W Hpp^-1 W^T (cross-camera coupling).
         WH = jnp.einsum("apij,pjk->apik", Wap, Hpp_inv, precision=_PREC)

@@ -354,7 +354,11 @@ def fuse_into_keyframe(arena: ma.MapArena, kf_id, cfg: SlamConfig):
         base_radius=3.0)
     cap = min(4096, arena.pmax)
     score = jnp.where(vis, 1 + arena.pt_n_obs, 0)
-    _, cand_ids = jax.lax.top_k(score, cap)
+    # approx_max_k: TPU-native bucketed selection — exact top_k over the
+    # [pmax] score vector is a sort and costs several ms; candidate recall
+    # loss at the budget boundary only reorders the lowest-priority points.
+    _, cand_ids = jax.lax.approx_max_k(score.astype(jnp.float32), cap)
+    cand_ids = cand_ids.astype(jnp.int32)
     cvalid = vis[cand_ids]
     kp_valid = arena.kf_kp_valid[kf_id]
     res = matcher.match_candidates(

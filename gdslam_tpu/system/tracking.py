@@ -213,7 +213,11 @@ def fuse_associate(arena: ma.MapArena, frame: Frame, T_cw: jnp.ndarray,
         base_radius=6.0)
     cap = min(LOCAL_POINT_CAP, arena.pmax)
     score = jnp.where(vis, 1 + arena.pt_n_obs, 0)
-    _, cand_ids = jax.lax.top_k(score, cap)
+    # approx_max_k: TPU-native bucketed selection — exact top_k over the
+    # [pmax] score vector is a sort and costs several ms; candidate recall
+    # loss at the budget boundary only reorders the lowest-priority points.
+    _, cand_ids = jax.lax.approx_max_k(score.astype(jnp.float32), cap)
+    cand_ids = cand_ids.astype(jnp.int32)
     cvalid = vis[cand_ids]
     from gdslam_tpu.ops import orb as orb_ops
     kp_free = frame.valid & (assoc < 0)
@@ -336,7 +340,11 @@ def track_local_map(arena: ma.MapArena, frame: Frame, T: jnp.ndarray,
     # Budgeted candidate set: prefer high-observation points.
     cap = min(LOCAL_POINT_CAP, arena.pmax)
     score = jnp.where(vis, 1 + arena.pt_n_obs, 0)
-    _, cand_ids = jax.lax.top_k(score, cap)
+    # approx_max_k: TPU-native bucketed selection — exact top_k over the
+    # [pmax] score vector is a sort and costs several ms; candidate recall
+    # loss at the budget boundary only reorders the lowest-priority points.
+    _, cand_ids = jax.lax.approx_max_k(score.astype(jnp.float32), cap)
+    cand_ids = cand_ids.astype(jnp.int32)
     cvalid = vis[cand_ids]
 
     from gdslam_tpu.ops import orb as orb_ops
@@ -473,6 +481,7 @@ class Tracking:
         self.use_triangulation = True       # CreateNewMapPoints epipolar stage
         self.commit_every = 3               # frames per host sync (pipeline mode)
         self._pending = []                  # in-flight frames (pipeline mode)
+        self._ref_m_dev = None              # deferred ref-match scalar (pipeline)
         # Keyframe timestamps live host-side: float32 cannot represent TUM
         # epoch seconds (~1.3e9, ULP=128 s) so device kf_time would corrupt
         # KeyFrameTrajectory.txt timestamps (list index == arena kf slot).
@@ -500,7 +509,15 @@ class Tracking:
             self.use_triangulation, use_ba)
         self._note_keyframe(timestamp)
         self.ref_kf = new_n_kf - 1
-        self.ref_kf_matches = int(ref_m)
+        if self.pipeline:
+            # Defer the scalar read: int(ref_m) here would stall the host
+            # for the whole keyframe program + a ~28 ms tunnel round trip.
+            # The future joins the next flush()'s batched device_get;
+            # ref_kf_matches stays stale for <= commit_every frames — the
+            # same staleness the reference's asynchronous LocalMapping has.
+            self._ref_m_dev = ref_m
+        else:
+            self.ref_kf_matches = int(ref_m)
         self.frames_since_kf = 0
         if self.loop_closer is not None:
             self.arena = self.loop_closer.process_keyframe(
@@ -546,6 +563,7 @@ class Tracking:
         self.frames_since_kf = 0
         self.records = []
         self._pending = []
+        self._ref_m_dev = None
         self.kf_timestamps = []
         self._mono_first = None
         self.arena_full_warned = False
@@ -888,7 +906,18 @@ class Tracking:
         if not self._pending:
             return
         batch, self._pending = self._pending, []
-        all_stats = jax.device_get([p[0] for p in batch])   # one round trip
+        # ONE round trip for the whole batch, including any deferred
+        # keyframe ref-match scalar from _do_keyframe.
+        to_get = [p[0] for p in batch]
+        if self._ref_m_dev is not None:
+            to_get.append(self._ref_m_dev)
+        got = jax.device_get(to_get)
+        if self._ref_m_dev is not None:
+            self.ref_kf_matches = int(got[-1])
+            self._ref_m_dev = None
+            all_stats = got[:-1]
+        else:
+            all_stats = got
         for k, (pend, st) in enumerate(zip(batch, all_stats)):
             if not self._commit(pend, stats_host=st):
                 # later in-flight frames consumed the bad state: drop them,
