@@ -58,21 +58,29 @@ def bench_gd(frames, cfg):
 
     from gdslam_tpu.system.slam import System
 
-    slam = System(cfg)
-    # warm-up (compiles GD flow + tracking paths)
+    slam = System(cfg, pipeline=True)
+    slam.tracker.commit_every = 6
+    # The CLI feeds uint8 rgb + uint16 raw depth (4x smaller tunnel upload,
+    # device-side conversion) — bench the same contract.
+    dmf = cfg.camera.depth_map_factor
+    raw = [(np.asarray(fr.rgb).astype(np.uint8),
+            (np.asarray(fr.depth) * dmf).astype(np.uint16))
+           for fr in frames]
+    # warm-up: cover every compile path incl. keyframe culling (8th KF)
     i = 0
-    while i < len(frames) - 30 and slam.keyframe_count < 6:
-        fr = frames[i]
-        slam.track_rgbd_gd(np.asarray(fr.rgb), np.asarray(fr.depth), None,
-                           i / 30.0)
+    while i < len(frames) - 30 and slam.keyframe_count < 10:
+        rgb, depth = raw[i]
+        slam.track_rgbd_gd(rgb, depth, None, i / 30.0)
         i += 1
+    slam.tracker.flush()
+    jax.block_until_ready(slam.tracker.last.T_cw)
 
     n_frames = 30
     t0 = time.perf_counter()
     for k in range(i, i + n_frames):
-        fr = frames[k]
-        slam.track_rgbd_gd(np.asarray(fr.rgb), np.asarray(fr.depth), None,
-                           k / 30.0)
+        rgb, depth = raw[k]
+        slam.track_rgbd_gd(rgb, depth, None, k / 30.0)
+    slam.tracker.flush()
     jax.block_until_ready(slam.tracker.last.T_cw)
     return n_frames / (time.perf_counter() - t0)
 

@@ -51,9 +51,11 @@ def main(argv=None):
 
     from gdslam_tpu.io import native_loader
     if native_loader.available():
+        # raw=True: uint8 rgb + uint16 depth upload (4x smaller over the
+        # device tunnel); the System converts to float meters on device.
         seq = native_loader.NativeTumSequence(
             seq_dir, assoc_path, cfg.camera.depth_map_factor,
-            cfg.camera.width, cfg.camera.height)
+            cfg.camera.width, cfg.camera.height, raw=True)
         frames_iter = iter(seq)
         print(f"Loaded {len(seq)} frames from {seq_dir} (native prefetch)")
     else:
@@ -62,7 +64,7 @@ def main(argv=None):
         print(f"Loaded {len(seq)} frames from {seq_dir}")
 
     segmenter = SegmentDynObject(None, cache_dir=masks_dir) if masks_dir else None
-    slam = System(cfg, Sensor.RGBD, vocabulary=vocab)
+    slam = System(cfg, Sensor.RGBD, vocabulary=vocab, pipeline=True)
     use_gd = output_dir is not None
     if output_dir:
         for sub in ("rgb", "depth", "mask"):

@@ -41,6 +41,11 @@ def _load_lib():
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_long]
+    lib.tum_loader_next_raw.restype = ctypes.c_int
+    lib.tum_loader_next_raw.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_long]
     lib.tum_loader_close.restype = None
     lib.tum_loader_close.argtypes = [ctypes.c_void_p]
     return lib
@@ -61,7 +66,11 @@ class NativeTumSequence:
 
     def __init__(self, sequence_dir: str, associations_path: str,
                  depth_map_factor: float = 5000.0,
-                 width: int = 640, height: int = 480):
+                 width: int = 640, height: int = 480, raw: bool = False):
+        """raw=True yields (uint8 rgb, uint16 depth-in-sensor-units, ts):
+        a 4x-smaller host->device upload; the System converts to float
+        meters ON DEVICE (the reference's DepthMapFactor contract,
+        Tracking.cc:GrabImageRGBD imDepth convertTo)."""
         if not available():
             raise RuntimeError("native loader not built (run native/build.sh)")
         self._h = _LIB.tum_loader_open(sequence_dir.encode(),
@@ -71,8 +80,13 @@ class NativeTumSequence:
             raise FileNotFoundError(associations_path)
         self._n = int(_LIB.tum_loader_len(self._h))
         self.width, self.height = width, height
-        self._rgb = np.empty((height, width, 3), np.float32)
-        self._depth = np.empty((height, width), np.float32)
+        self.raw = raw
+        if raw:
+            self._rgb = np.empty((height, width, 3), np.uint8)
+            self._depth = np.empty((height, width), np.uint16)
+        else:
+            self._rgb = np.empty((height, width, 3), np.float32)
+            self._depth = np.empty((height, width), np.float32)
 
     def __len__(self):
         return self._n
@@ -80,11 +94,19 @@ class NativeTumSequence:
     def __iter__(self):
         ts = ctypes.c_double()
         while True:
-            rc = _LIB.tum_loader_next(
-                self._h,
-                self._rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                self._depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                ctypes.byref(ts), self._rgb.size, self._depth.size)
+            if self.raw:
+                rc = _LIB.tum_loader_next_raw(
+                    self._h,
+                    self._rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    self._depth.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint16)),
+                    ctypes.byref(ts), self._rgb.size, self._depth.size)
+            else:
+                rc = _LIB.tum_loader_next(
+                    self._h,
+                    self._rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    self._depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.byref(ts), self._rgb.size, self._depth.size)
             if rc == 1:
                 return
             if rc == 2:

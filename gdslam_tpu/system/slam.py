@@ -14,6 +14,8 @@ import enum
 import functools
 from typing import Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +47,11 @@ def _to_gray(im: np.ndarray, rgb_order: bool = True) -> jnp.ndarray:
     return _gray_kernel(im, rgb_order)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _depth_to_meters(d: jnp.ndarray, scale: float) -> jnp.ndarray:
+    return d.astype(jnp.float32) * scale
+
+
 class System:
     """TPU-native SLAM system with the reference's System API surface
     (System::TrackRGBD System.cc:157-312, SaveTrajectoryTUM :418-476,
@@ -52,12 +59,13 @@ class System:
 
     def __init__(self, settings: SlamConfig | str, sensor: Sensor = Sensor.RGBD,
                  use_viewer: bool = False, vocabulary: Optional[str] = None,
-                 kmax: int = 512, pmax: int = 65536):
+                 kmax: int = 512, pmax: int = 65536, pipeline: bool = False):
         if isinstance(settings, str):
             settings = SlamConfig.from_opencv_yaml(settings)
         self.cfg = settings
         self.sensor = sensor
-        self.tracker = Tracking(settings, kmax=kmax, pmax=pmax)
+        self.tracker = Tracking(settings, kmax=kmax, pmax=pmax,
+                                pipeline=pipeline)
         self._localization_only = False
         self._geo = None  # lazily-constructed GeoMaskMaker (TrackRGBD_GD)
         self._geometry = None  # lazily-constructed Geometry (DynaSLAM path)
@@ -71,6 +79,19 @@ class System:
             else:
                 self._vocab = vocabulary
             self.tracker.loop_closer = LoopCloser(settings, self._vocab, kmax)
+
+    def _to_depth(self, depth) -> jnp.ndarray:
+        """Upload depth and convert to float meters ON DEVICE. uint16 input
+        is raw sensor units scaled by 1/DepthMapFactor (the reference's
+        GrabImageRGBD convertTo contract) — uploading raw halves/quarters
+        the tunnel transfer vs host-side float32 (~100 ms/frame at
+        640x480)."""
+        d = jnp.asarray(depth)
+        if d.dtype == jnp.float32:
+            return d
+        scale = 1.0 / self.cfg.camera.depth_map_factor \
+            if d.dtype == jnp.uint16 else 1.0
+        return _depth_to_meters(d, scale)
 
     # ------------------------------------------------------------------ track
     def track_rgbd(self, rgb: np.ndarray, depth: np.ndarray,
@@ -86,7 +107,7 @@ class System:
         refined mask -> Track -> GeometricModelUpdateDB. (The 7-arg form with
         background inpainting is track_rgbd_geom.)"""
         gray = _to_gray(rgb, self.cfg.camera.rgb == 1)
-        depth = jnp.asarray(depth, jnp.float32)
+        depth = self._to_depth(depth)
         if mask is None:
             mask = jnp.ones(gray.shape, jnp.float32)
         mask = jnp.asarray(mask, jnp.float32)
@@ -104,8 +125,8 @@ class System:
         background inpainting. Returns (T_cw, rgb_out, depth_out, mask_out)
         — the imRGBOut/imDOut/maskOut output arguments."""
         gray = _to_gray(rgb, self.cfg.camera.rgb == 1)
-        depth = jnp.asarray(depth, jnp.float32)
-        rgb_j = jnp.asarray(rgb, jnp.float32)
+        depth = self._to_depth(depth)
+        rgb_j = jnp.asarray(rgb).astype(jnp.float32)
         if mask is None:
             mask = jnp.ones(gray.shape, jnp.float32)
         mask = jnp.asarray(mask, jnp.float32)
@@ -151,8 +172,8 @@ class System:
         tr = self.tracker
         is_kf = tr.state == TrackState.OK and tr.frames_since_kf == 0
         self._geometry.update_db(gray, depth, mask, rgb,
-                                 jnp.asarray(np.asarray(tr.last.T_cw))
-                                 if tr.last is not None else jnp.eye(4),
+                                 tr.last.T_cw if tr.last is not None
+                                 else jnp.eye(4),
                                  is_keyframe=is_kf)
 
     def track_rgbd_gd(self, rgb: np.ndarray, depth: np.ndarray,
@@ -168,7 +189,7 @@ class System:
         from gdslam_tpu.frontend.frame import build_frame
         from gdslam_tpu.masking.geomask import GeoMaskMaker
         gray = _to_gray(rgb, self.cfg.camera.rgb == 1)
-        depth = jnp.asarray(depth, jnp.float32)
+        depth = self._to_depth(depth)
         if mask is None:
             mask = jnp.ones(gray.shape, jnp.float32)
         mask = jnp.asarray(mask, jnp.float32)
@@ -184,8 +205,11 @@ class System:
                             self.cfg.camera)
         T = self.tracker._process_built_frame(frame, timestamp)
         if not inpaint:
-            return T, np.asarray(refined)
-        rgb_j = jnp.asarray(rgb, jnp.float32)
+            # refined stays a device array: materializing the [H, W] mask
+            # costs a full tunnel round trip + ~1.2 MB transfer per frame
+            # (~100 ms measured); np.asarray(refined) converts on demand.
+            return T, refined
+        rgb_j = jnp.asarray(rgb).astype(jnp.float32)
         if self._geometry is None:
             from gdslam_tpu.masking.geometry import Geometry
             self._geometry = Geometry(self.cfg)

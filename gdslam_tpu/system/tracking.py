@@ -771,9 +771,36 @@ class Tracking:
         self.records.append((float(ts0), 0, jnp.eye(4), False))
         self.records.append((float(ts1), 1, jnp.eye(4), False))
 
+    def _process_built_pipelined(self, frame: Frame, timestamp: float):
+        """Pipelined dispatch for a pre-built Frame (the GD / geometry /
+        stereo paths): identical to _process_pipelined but without the
+        extraction stage (the caller already extracted). One batched scalar
+        sync per commit_every frames instead of several per frame — on the
+        tunneled TPU every sync costs a ~29 ms round trip, which made the
+        GD path ~1 fps despite ~85 ms of device work per frame."""
+        cfg = self.cfg
+        prev_backup = (self.arena, self.last, self.velocity)
+        has_vel = self.velocity is not None
+        vel = self.velocity if has_vel else jnp.eye(4)
+        out = track_frame_core(
+            self.arena, self.last, vel, jnp.asarray(has_vel), frame, cfg,
+            jnp.asarray(self.ref_kf), jnp.asarray(not self.mapping_enabled))
+        arena2, new_last, vel_new, T_cr, stats = out
+        self.arena = arena2
+        self.last = new_last
+        self.velocity = vel_new
+        self._pending.append((stats, T_cr, new_last, timestamp, prev_backup))
+        if len(self._pending) >= self.commit_every:
+            self.flush()
+        self.frame_id += 1
+        return self.last.T_cw
+
     def _process_built_frame(self, frame: Frame, timestamp: float) -> np.ndarray:
         """Common tracking body for a pre-built Frame (stereo/mono paths)."""
         cfg = self.cfg
+        if self.state not in (TrackState.NO_IMAGES_YET,
+                              TrackState.NOT_INITIALIZED) and self.pipeline:
+            return self._process_built_pipelined(frame, timestamp)
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             n_valid = int(jnp.sum(frame.valid))
             min_init = min(cfg.tracking.min_init_features,

@@ -113,8 +113,8 @@ bool decode_png(const std::string& path, Image* out) {
 
 struct Frame {
   double timestamp = 0.0;
-  std::vector<float> rgb;    // H*W*3
-  std::vector<float> depth;  // H*W (meters)
+  std::vector<uint8_t> rgb;    // H*W*3 raw 8-bit
+  std::vector<uint16_t> depth; // H*W raw sensor units
   bool ok = false;
 };
 
@@ -151,21 +151,19 @@ struct Loader {
             fr.rgb[p * 3 + 1] = rgb_img.data[p * rgb_img.channels + 1];
             fr.rgb[p * 3 + 2] = rgb_img.data[p * rgb_img.channels + 2];
           } else {
-            float g = rgb_img.data[p * rgb_img.channels];
+            uint8_t g = rgb_img.data[p * rgb_img.channels];
             fr.rgb[p * 3 + 0] = fr.rgb[p * 3 + 1] = fr.rgb[p * 3 + 2] = g;
           }
         }
         size_t nd = size_t(depth_img.width) * depth_img.height;
         fr.depth.resize(nd);
         if (depth_img.bit_depth == 16) {
-          for (size_t p = 0; p < nd; ++p) {
-            uint16_t v = (uint16_t(depth_img.data[p * 2]) << 8) |
-                         depth_img.data[p * 2 + 1];
-            fr.depth[p] = float(v) * float(depth_scale);
-          }
+          for (size_t p = 0; p < nd; ++p)
+            fr.depth[p] = (uint16_t(depth_img.data[p * 2]) << 8) |
+                          depth_img.data[p * 2 + 1];
         } else {
           for (size_t p = 0; p < nd; ++p)
-            fr.depth[p] = float(depth_img.data[p]) * float(depth_scale);
+            fr.depth[p] = depth_img.data[p];
         }
         fr.ok = true;
       }
@@ -220,8 +218,33 @@ int tum_loader_next(void* h, float* rgb_out, float* depth_out,
   int rc = 2;
   if (fr.ok && long(fr.rgb.size()) <= rgb_capacity &&
       long(fr.depth.size()) <= depth_capacity) {
-    std::memcpy(rgb_out, fr.rgb.data(), fr.rgb.size() * sizeof(float));
-    std::memcpy(depth_out, fr.depth.data(), fr.depth.size() * sizeof(float));
+    for (size_t p = 0; p < fr.rgb.size(); ++p) rgb_out[p] = fr.rgb[p];
+    for (size_t p = 0; p < fr.depth.size(); ++p)
+      depth_out[p] = float(fr.depth[p]) * float(L->depth_scale);
+    *ts_out = fr.timestamp;
+    rc = 0;
+  }
+  ++L->tail;
+  L->cv_prod.notify_one();
+  return rc;
+}
+
+// Raw variant: 8-bit RGB + 16-bit depth in sensor units (no host-side float
+// conversion — the device converts after a 4x-smaller upload).
+int tum_loader_next_raw(void* h, uint8_t* rgb_out, uint16_t* depth_out,
+                        double* ts_out, long rgb_capacity,
+                        long depth_capacity) {
+  auto* L = static_cast<Loader*>(h);
+  if (L->tail >= L->assoc.size()) return 1;
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->cv_cons.wait(lk, [&] { return L->head > L->tail; });
+  Frame& fr = L->ring[L->tail % L->cap];
+  int rc = 2;
+  if (fr.ok && long(fr.rgb.size()) <= rgb_capacity &&
+      long(fr.depth.size()) <= depth_capacity) {
+    std::memcpy(rgb_out, fr.rgb.data(), fr.rgb.size());
+    std::memcpy(depth_out, fr.depth.data(),
+                fr.depth.size() * sizeof(uint16_t));
     *ts_out = fr.timestamp;
     rc = 0;
   }
