@@ -199,10 +199,20 @@ class LoopCloser:
             kf_pose=new_kf_pose,
             pt_pos=jnp.where(arena.pt_valid[:, None], new_pts, arena.pt_pos))
 
+        # SearchAndFuse (LoopClosing.cc:525-560): with the poses corrected,
+        # project the map into the current keyframe and its best covisible
+        # neighbors and merge duplicate landmarks across the seam — the
+        # loop-side and current-side copies of the same surface otherwise
+        # stay as separate points that double-count observations in GBA.
+        from gdslam_tpu.backend import gba, mapping
+        w = np.asarray(arena.covis[kf_id])
+        nbrs = [kf_id] + [int(k) for k in np.argsort(-w)[:4] if w[k] > 0]
+        for k in nbrs:
+            arena, _ = mapping.fuse_into_keyframe(arena, k, self.cfg)
+
         # Global BA after the loop (RunGlobalBundleAdjustment,
         # LoopClosing.cc:645-750) — synchronous here; the work is a handful
         # of device programs rather than a CPU thread.
-        from gdslam_tpu.backend import gba
         arena = gba.global_bundle_adjustment(arena, self.cfg,
                                              gate_outliers=True)
 

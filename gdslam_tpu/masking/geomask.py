@@ -125,45 +125,68 @@ def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
         warped = image_ops.bilinear_sample(cur_gray, uv_cur)
         valid = valid & (jnp.abs(warped - ref_gray) < 30.0)
 
-    # 3D residual d = X_cur - (R X_ref + T)
+    # Everything below runs PLANAR (structure-of-arrays: separate [H, W]
+    # planes per vector/matrix component). Stacked [H, W, 3] / [H, W, 3, 3]
+    # layouts put a 3-wide axis in the minor (lane) dimension, so every op
+    # uses ~2% of the VPU lanes — the einsum formulation of this block ran
+    # at ~3 ms per fused op (profiled), ~50 ms total.
     R, T = T_cur_ref[:3, :3], T_cur_ref[:3, 3]
-    X_ref = cam_ops.backproject(jnp.stack([u, v], -1), z_ref, cam)
-    X_cur = cam_ops.backproject(uv_cur, z_cur, cam)
-    X_pred = jnp.einsum("ij,hwj->hwi", R, X_ref, precision=_PREC) + T
-    d = X_cur - X_pred
-
-    # Jacobians wrt the 6 measurements (u_c, v_c, z_c, u_r, v_r, z_r).
-    def backproj_jac(uv, z):
-        zx = jnp.stack([z / fx, jnp.zeros_like(z), (uv[..., 0] - cx) / fx], -1)
-        zy = jnp.stack([jnp.zeros_like(z), z / fy, (uv[..., 1] - cy) / fy], -1)
-        zz = jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z),
-                        jnp.ones_like(z)], -1)
-        return jnp.stack([zx, zy, zz], axis=-1)  # [..., 3 out, 3 in]
-
-    J_cur = backproj_jac(uv_cur, z_cur)
-    J_ref = jnp.einsum("ij,hwjk->hwik", R, backproj_jac(
-        jnp.stack([u, v], -1), z_ref), precision=_PREC)
+    uc, vc = uv_cur[..., 0], uv_cur[..., 1]
+    # back-projections, componentwise
+    xr = (u - cx) / fx * z_ref
+    yr = (v - cy) / fy * z_ref
+    xc = (uc - cx) / fx * z_cur
+    yc = (vc - cy) / fy * z_cur
+    # d = X_cur - (R X_ref + T), R applied with scalar coefficients
+    dx = xc - (R[0, 0] * xr + R[0, 1] * yr + R[0, 2] * z_ref + T[0])
+    dy = yc - (R[1, 0] * xr + R[1, 1] * yr + R[1, 2] * z_ref + T[1])
+    dz = z_cur - (R[2, 0] * xr + R[2, 1] * yr + R[2, 2] * z_ref + T[2])
 
     sigma = gcfg.depth_sigma
     f_mean = 0.5 * (fx + fy)
     var_zc = ((sigma / f_mean) * z_cur * z_cur) ** 2   # depth2std^2 (cc:1386)
     var_zr = ((sigma / f_mean) * z_ref * z_ref) ** 2
     sig_px = 1.0
-    # Sigma = J_c S_c J_c^T + J_r S_r J_r^T  (block-diagonal S)
-    def weighted_outer(J, s):
-        # J: [..., 3, 3 inputs], s: [..., 3] variances
-        return jnp.einsum("hwik,hwk,hwjk->hwij", J, s, J, precision=_PREC)
 
-    s_cur = jnp.stack([jnp.full_like(z_cur, sig_px),
-                       jnp.full_like(z_cur, sig_px), var_zc], -1)
-    s_ref = jnp.stack([jnp.full_like(z_ref, sig_px),
-                       jnp.full_like(z_ref, sig_px), var_zr], -1)
-    Sig = weighted_outer(J_cur, s_cur) + weighted_outer(J_ref, s_ref)
-    Sig = Sig + 1e-9 * jnp.eye(3)
+    def backproj_cov(uu, vv, z, var_z):
+        """J S J^T for J = d(backproject)/d(u,v,z), S = diag(s,s,var_z):
+        six unique components of the symmetric 3x3, as [H, W] planes."""
+        gx = (uu - cx) / fx
+        gy = (vv - cy) / fy
+        zfx = z / fx
+        zfy = z / fy
+        m00 = sig_px * zfx * zfx + var_z * gx * gx
+        m01 = var_z * gx * gy
+        m02 = var_z * gx
+        m11 = sig_px * zfy * zfy + var_z * gy * gy
+        m12 = var_z * gy
+        m22 = var_z
+        return m00, m01, m02, m11, m12, m22
 
-    # Closed-form 3x3 inverse via adjugate.
-    a, b_, c = Sig[..., 0, 0], Sig[..., 0, 1], Sig[..., 0, 2]
-    e, f_, i = Sig[..., 1, 1], Sig[..., 1, 2], Sig[..., 2, 2]
+    a, b_, c, e, f_, i = backproj_cov(uc, vc, z_cur, var_zc)
+    n00, n01, n02, n11, n12, n22 = backproj_cov(u, v, z_ref, var_zr)
+
+    # Sig += R N R^T with N symmetric, R scalar: P = R N, then Sig += P R^T.
+    def rotate_sym(n00, n01, n02, n11, n12, n22):
+        out = []
+        rows = ((R[0, 0], R[0, 1], R[0, 2]), (R[1, 0], R[1, 1], R[1, 2]),
+                (R[2, 0], R[2, 1], R[2, 2]))
+        P = [[rows[k][0] * n00 + rows[k][1] * n01 + rows[k][2] * n02,
+              rows[k][0] * n01 + rows[k][1] * n11 + rows[k][2] * n12,
+              rows[k][0] * n02 + rows[k][1] * n12 + rows[k][2] * n22]
+             for k in range(3)]
+        for (k, l) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
+            out.append(P[k][0] * rows[l][0] + P[k][1] * rows[l][1]
+                       + P[k][2] * rows[l][2])
+        return out
+
+    r00, r01, r02, r11, r12, r22 = rotate_sym(n00, n01, n02, n11, n12, n22)
+    a = a + r00 + 1e-9
+    b_ = b_ + r01
+    c = c + r02
+    e = e + r11 + 1e-9
+    f_ = f_ + r12
+    i = i + r22 + 1e-9
     det = a * (e * i - f_ * f_) - b_ * (b_ * i - f_ * c) + c * (b_ * f_ - e * c)
     det = jnp.where(jnp.abs(det) > 1e-18, det, 1e-18)
     i00 = (e * i - f_ * f_) / det
@@ -172,12 +195,16 @@ def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
     i11 = (a * i - c * c) / det
     i12 = (b_ * c - a * f_) / det
     i22 = (a * e - b_ * b_) / det
-    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
     m2 = (dx * (i00 * dx + i01 * dy + i02 * dz)
           + dy * (i01 * dx + i11 * dy + i12 * dz)
           + dz * (i02 * dx + i12 * dy + i22 * dz))
     m = jnp.sqrt(jnp.maximum(m2, 0.0))
     m = jnp.where(valid, m, 0.0)
+    # Materialize the distance map ONCE: without the barrier XLA fuses the
+    # whole Mahalanobis pipeline into EACH downstream reduction (the
+    # min/max/quantile passes), recomputing it ~12x (~3 ms per fusion,
+    # profiled — the entire 55 ms cost of this program).
+    m, valid = jax.lax.optimization_barrier((m, valid))
 
     # Normalize over valid pixels -> [0, 255]. The reference min-max
     # normalizes (cc:276-277); a strict max is fragile (one bad-flow pixel
@@ -185,10 +212,22 @@ def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
     # of valid values, clipped — same intent, outlier-robust.
     m_min = jnp.min(jnp.where(valid, m, jnp.inf))
     m_min = jnp.where(jnp.isfinite(m_min), m_min, 0.0)
-    m_sorted = jnp.sort(jnp.where(valid, m, -1.0).reshape(-1))
-    n_valid = jnp.sum(valid)
-    hi_idx = m_sorted.shape[0] - 1 - (n_valid * 5) // 1000
-    m_max = jnp.maximum(m_sorted[jnp.maximum(hi_idx, 0)], m_min + 1e-6)
+    # 99.5th percentile by bisection counting: a full sort of the [H*W]
+    # map costs tens of ms on TPU; 12 fused compare-reduce passes resolve
+    # the quantile to max/4096, far below the normalization's sensitivity.
+    n_valid = jnp.sum(valid).astype(jnp.float32)
+    target = 0.995 * n_valid
+    hi0 = jnp.max(jnp.where(valid, m, 0.0))
+
+    def bisect(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum((m <= mid) & valid).astype(jnp.float32)
+        below = cnt < target
+        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 12, bisect, (m_min, hi0))
+    m_max = jnp.maximum(0.5 * (lo + hi), m_min + 1e-6)
     dist = jnp.clip((m - m_min) / (m_max - m_min) * 255.0, 0.0, 255.0)
     dist = jnp.where(valid, dist, 0.0)
 
