@@ -308,29 +308,15 @@ def refresh_points(arena: ma.MapArena, kf_id, cfg: SlamConfig,
     max_d = dist * sf ** lvl
     min_d = max_d / (sf ** (cfg.orb.n_levels - 1))
 
-    tgt = jnp.where(upd, t_idx, arena.pmax - 1)
-    # guard the sentinel slot: re-write its original values afterwards
-    sent_desc = arena.pt_desc[arena.pmax - 1]
-    sent_norm = arena.pt_normal[arena.pmax - 1]
-    sent_min = arena.pt_min_dist[arena.pmax - 1]
-    sent_max = arena.pt_max_dist[arena.pmax - 1]
-    sent_upd = jnp.any(upd & (t_idx == arena.pmax - 1))
+    # Masked-out rows target the out-of-range index pmax and are DROPPED —
+    # never reuse a live slot as a dump (duplicate-index .set order is
+    # unspecified and would clobber a genuine update to that slot).
+    tgt = jnp.where(upd, t_idx, arena.pmax)
     arena = arena._replace(
-        pt_desc=arena.pt_desc.at[tgt].set(new_desc),
-        pt_normal=arena.pt_normal.at[tgt].set(new_normal),
-        pt_min_dist=arena.pt_min_dist.at[tgt].set(min_d),
-        pt_max_dist=arena.pt_max_dist.at[tgt].set(max_d),
-    )
-    # restore sentinel if it was only hit by masked-out writes
-    arena = arena._replace(
-        pt_desc=arena.pt_desc.at[arena.pmax - 1].set(
-            jnp.where(sent_upd, arena.pt_desc[arena.pmax - 1], sent_desc)),
-        pt_normal=arena.pt_normal.at[arena.pmax - 1].set(
-            jnp.where(sent_upd, arena.pt_normal[arena.pmax - 1], sent_norm)),
-        pt_min_dist=arena.pt_min_dist.at[arena.pmax - 1].set(
-            jnp.where(sent_upd, arena.pt_min_dist[arena.pmax - 1], sent_min)),
-        pt_max_dist=arena.pt_max_dist.at[arena.pmax - 1].set(
-            jnp.where(sent_upd, arena.pt_max_dist[arena.pmax - 1], sent_max)),
+        pt_desc=arena.pt_desc.at[tgt].set(new_desc, mode="drop"),
+        pt_normal=arena.pt_normal.at[tgt].set(new_normal, mode="drop"),
+        pt_min_dist=arena.pt_min_dist.at[tgt].set(min_d, mode="drop"),
+        pt_max_dist=arena.pt_max_dist.at[tgt].set(max_d, mode="drop"),
     )
     return arena
 

@@ -243,9 +243,16 @@ class System:
         self.tracker.mapping_enabled = True
 
     def reset(self):
-        """System::Reset (System.cc:391)."""
-        self.tracker = Tracking(self.cfg, kmax=self.tracker.arena.kmax,
-                                pmax=self.tracker.arena.pmax)
+        """System::Reset (System.cc:391). Preserves the pipeline flag and
+        the loop closer (the reference's Reset keeps both threads alive and
+        only clears their state, System.cc:391-395)."""
+        old = self.tracker
+        self.tracker = Tracking(self.cfg, kmax=old.arena.kmax,
+                                pmax=old.arena.pmax, pipeline=old.pipeline)
+        self.tracker.commit_every = old.commit_every
+        if old.loop_closer is not None:
+            old.loop_closer.reset()
+            self.tracker.loop_closer = old.loop_closer
         self._geo = None
         self._geometry = None
         self._last_refined_mask = None

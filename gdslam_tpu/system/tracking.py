@@ -487,6 +487,11 @@ class Tracking:
         # KeyFrameTrajectory.txt timestamps (list index == arena kf slot).
         self.kf_timestamps: list[float] = []
         self.arena_full_warned = False
+        # Sensor modality, set by the mono entry point: the keyframe cadence
+        # rules differ (thRefRatio 0.9 vs 0.75, dense mono insertion) and
+        # must NOT be inferred from per-frame depth statistics — an RGB-D
+        # frame that momentarily sees only far geometry is not monocular.
+        self.sensor_mono = False
 
     # -- helpers -------------------------------------------------------------
     @property
@@ -706,6 +711,7 @@ class Tracking:
         the map grows past the bootstrap pair via epipolar triangulation at
         keyframe insertion (mapping.create_new_map_points)."""
         from gdslam_tpu.frontend import initializer as ini
+        self.sensor_mono = True
         cfg = self.cfg
         cam = cfg.camera
         gray = jnp.asarray(gray)
@@ -881,6 +887,8 @@ class Tracking:
         # Return the in-flight pose as a device array: converting would cost
         # a ~28 ms tunnel round trip per frame, exactly what pipelining
         # hides. Exact poses come from camera_trajectory() after flush().
+        if self.last is None:  # flush hit the early-loss auto-reset
+            return jnp.eye(4)
         return self.last.T_cw
 
     def _commit(self, pending, stats_host=None):
@@ -949,12 +957,17 @@ class Tracking:
             if not self._commit(pend, stats_host=st):
                 # later in-flight frames consumed the bad state: drop them,
                 # but keep their timestamps in the trajectory as lost records
-                # so every input frame appears in CameraTrajectory.txt
+                # so every input frame appears in CameraTrajectory.txt.
+                # _commit's early-loss auto-reset can wipe the tracker
+                # (self.last=None) mid-flush — record identity T_cr then.
+                if self.last is not None:
+                    T_cr_drop = self.last.T_cw @ lie.se3_inverse(
+                        self.arena.kf_pose[self.ref_kf])
+                else:
+                    T_cr_drop = jnp.eye(4)
                 for dropped in batch[k + 1:]:
                     self.records.append(
-                        (float(dropped[3]), self.ref_kf,
-                         self.last.T_cw @ lie.se3_inverse(
-                             self.arena.kf_pose[self.ref_kf]), True))
+                        (float(dropped[3]), self.ref_kf, T_cr_drop, True))
                 break
 
     def _relocalize(self, frame: Frame):
@@ -1042,9 +1055,14 @@ class Tracking:
             # the candidate's own BoW matches rarely reach the 50-inlier
             # acceptance bar on their own.
             assoc0 = jnp.where(inl & matched, pt, -1)
-            self.arena, T2, assoc2, n2 = track_local_map(
+            # Adopt the returned arena (pt_visible/pt_found bookkeeping) only
+            # on acceptance: repeated failed relocalizations would otherwise
+            # inflate pt_visible at wrong poses and push good points below
+            # the 0.25 found/visible culling ratio.
+            arena2, T2, assoc2, n2 = track_local_map(
                 self.arena, frame, T, cfg, assoc0)
             if int(n2) >= 50:
+                self.arena = arena2
                 return True, T2, assoc2, int(n2)
         return False, None, None, 0
 
@@ -1062,8 +1080,10 @@ class Tracking:
             (self.frames_since_kf >= 3 or n_inl < 40)
         c1a = self.frames_since_kf >= self.cfg.camera.fps   # mMaxFrames
         # thRefRatio: 0.75 for RGB-D/stereo, 0.9 for monocular (Tracking.cc:
-        # 1369-1374); a frame with zero depth-classified keypoints is mono.
-        mono = (close_tracked + close_untracked) == 0
+        # 1369-1374). The modality comes from the sensor configuration (set
+        # by the mono entry point), NOT per-frame depth statistics: an RGB-D
+        # frame that momentarily sees only far geometry is not monocular.
+        mono = self.sensor_mono
         ratio = 0.9 if mono else 0.75
         # Mono c1b analogue (Tracking.cc:1355 mMinFrames=0 + idle mapper):
         # the reference inserts mono keyframes densely and culls redundant
