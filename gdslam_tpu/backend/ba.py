@@ -247,6 +247,10 @@ def run_local_ba(arena: ma.MapArena, prob: LocalBAProblem, cfg: SlamConfig,
     for _ in range(iters2):
         state = gn_iter(state, inlier)
     poses, pts = state
+    # Keep poses on SE(3): repeated exp-compositions preserve (and float
+    # rounding seeds) SO(3) deviation that the tracker's velocity cycle then
+    # amplifies geometrically (lie.so3_project).
+    poses = lie.se3_orthonormalize(poses)
     r, _, _, valid, e2, _ = _edge_terms(poses, pts, prob, uv, ur,
                                         inv_sigma2, K, bf)
     outlier = valid & (e2 > chi2_th)

@@ -150,7 +150,9 @@ def global_bundle_adjustment(arena: ma.MapArena, cfg: SlamConfig,
         all_in = jnp.ones(arena.kf_obs.shape, bool)
         poses, pts, _ = jax.lax.fori_loop(
             0, sweeps, sweep, (arena.kf_pose, arena.pt_pos, all_in))
-    return arena._replace(kf_pose=poses, pt_pos=pts)
+    # Re-project onto SE(3) — exp-compositions accumulate SO(3) deviation
+    # that downstream transpose-inverses amplify (lie.so3_project).
+    return arena._replace(kf_pose=lie.se3_orthonormalize(poses), pt_pos=pts)
 
 
 @jax.jit

@@ -14,6 +14,7 @@ work itself is a handful of fused device programs.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -53,6 +54,126 @@ def _bow_guided_matches(desc_a, valid_a, words_a, desc_b, valid_b, words_b):
     return jnp.where(good, idx, -1), jnp.sum(good)
 
 
+def _inv_sigma2(level, scale: float):
+    return 1.0 / (scale ** (2.0 * level.astype(jnp.float32)))
+
+
+def _kf_points_cam(arena: ma.MapArena, kf, cfg: SlamConfig):
+    """Per-keypoint 3D in the keyframe's camera: the observed map point
+    transformed by the KF pose where one exists (the reference's
+    vpMapPoints, ORBmatcher.cc:1110-1130), else the depth backprojection.
+    Returns (X [N,3], has3d [N])."""
+    obs = arena.kf_obs[kf]
+    has_pt = (obs >= 0) & arena.pt_valid[jnp.maximum(obs, 0)]
+    pw = arena.pt_pos[jnp.maximum(obs, 0)]
+    X_map = lie.se3_apply(arena.kf_pose[kf], pw)
+    z = arena.kf_depth[kf]
+    X_depth = cam_ops.backproject(arena.kf_uv[kf], z, cfg.camera)
+    X = jnp.where(has_pt[:, None], X_map, X_depth)
+    has3d = arena.kf_kp_valid[kf] & (has_pt | (z > 0))
+    return X, has3d
+
+
+@partial(jax.jit, static_argnums=(6, 7))
+def _sim3_verify_program(arena: ma.MapArena, kf_id, cand, S12, bow_idx,
+                         loop_pt_mask, cfg: SlamConfig,
+                         with_scale: bool = False):
+    """The full ComputeSim3 verification tail as ONE device program:
+    SearchBySim3-style mutual match growth through the candidate transform
+    (ORBmatcher.cc:1102-1219), OptimizeSim3 GN refinement with Huber + chi2
+    inlier erasure (Optimizer.cc:1262-1391), then the loop-map-point
+    projection count that the final >=40 acceptance is taken over
+    (LoopClosing.cc:355-400 SearchByProjection + nTotalMatches).
+
+    S12 = (R, t, s) hypothesis mapping candidate-camera coords into
+    current-camera coords. bow_idx: per-current-keypoint candidate keypoint
+    index from BoW matching (-1 = none). loop_pt_mask: [pmax] bool, map
+    points of the candidate's covisible group (mvpLoopMapPoints).
+
+    Returns (R, t, s, n_opt_inliers, n_total_matches)."""
+    from gdslam_tpu.frontend import matcher
+    cam = cfg.camera
+    sf = float(cfg.orb.scale_factor)
+    K = (cam.fx, cam.fy, cam.cx, cam.cy)
+    R12, t12, s12 = S12
+    X1, has1 = _kf_points_cam(arena, kf_id, cfg)
+    X2, has2 = _kf_points_cam(arena, cand, cfg)
+    uv1, uv2 = arena.kf_uv[kf_id], arena.kf_uv[cand]
+    lvl1, lvl2 = arena.kf_level[kf_id], arena.kf_level[cand]
+    d1 = orb_ops.descriptors_pm1(arena.kf_desc[kf_id],
+                                 arena.kf_kp_valid[kf_id])
+    d2 = orb_ops.descriptors_pm1(arena.kf_desc[cand],
+                                 arena.kf_kp_valid[cand])
+
+    def project(Xc):
+        z = jnp.maximum(Xc[..., 2], 1e-6)
+        return jnp.stack([cam.fx * Xc[..., 0] / z + cam.cx,
+                          cam.fy * Xc[..., 1] / z + cam.cy], axis=-1), \
+            Xc[..., 2] > 0
+
+    # --- SearchBySim3 growth, both directions, mutual agreement ----------
+    radius2 = 7.5 * sf ** lvl2.astype(jnp.float32)
+    X2_in1, zok2 = project(lie.sim3_apply(R12, t12, s12, X2))
+    in1 = zok2 & (X2_in1[..., 0] >= 0) & (X2_in1[..., 0] < cam.width) & \
+        (X2_in1[..., 1] >= 0) & (X2_in1[..., 1] < cam.height)
+    mA = matcher.match_candidates(
+        X2_in1, has2 & in1, d2, lvl2, jnp.zeros_like(radius2), radius2,
+        uv1, has1, d1, lvl1, arena.kf_angle[kf_id],
+        th_hamming=matcher.TH_HIGH, level_slack=1, use_rotation=False)
+    R21, t21, s21 = lie.sim3_inverse(R12, t12, s12)
+    radius1 = 7.5 * sf ** lvl1.astype(jnp.float32)
+    X1_in2, zok1 = project(lie.sim3_apply(R21, t21, s21, X1))
+    in2 = zok1 & (X1_in2[..., 0] >= 0) & (X1_in2[..., 0] < cam.width) & \
+        (X1_in2[..., 1] >= 0) & (X1_in2[..., 1] < cam.height)
+    mB = matcher.match_candidates(
+        X1_in2, has1 & in2, d1, lvl1, jnp.zeros_like(radius1), radius1,
+        uv2, has2, d2, lvl2, arena.kf_angle[cand],
+        th_hamming=matcher.TH_HIGH, level_slack=1, use_rotation=False)
+    # mA.point_idx[i1] = j2 ; mB.point_idx[j2] = i1 ; mutual check (cc:1207)
+    j_of_i = mA.point_idx
+    i_back = mB.point_idx[jnp.maximum(j_of_i, 0)]
+    mutual = (j_of_i >= 0) & (i_back == jnp.arange(j_of_i.shape[0]))
+    # union with BoW matches; BoW wins where both exist (the growth stage
+    # only ADDS matches in the reference, cc:1150 "if(vpMatches12[i1])
+    # continue")
+    idx2 = jnp.where(bow_idx >= 0, bow_idx,
+                     jnp.where(mutual, j_of_i, -1))
+    valid = (idx2 >= 0) & has1 & has2[jnp.maximum(idx2, 0)]
+
+    # --- OptimizeSim3 ----------------------------------------------------
+    rows2 = jnp.maximum(idx2, 0)
+    Rn, tn, sn, inl, n_opt = solvers.optimize_sim3(
+        X1, X2[rows2], uv1, uv2[rows2],
+        _inv_sigma2(lvl1, sf), _inv_sigma2(lvl2[rows2], sf), valid,
+        (R12, t12, s12), K, with_scale)
+
+    # --- loop-map-point projection count (the >=40 acceptance basis) ----
+    # Corrected current pose as a Sim3: Scw = S12 o T_cand_w
+    # (LoopClosing.cc:341 mScw = gScm * gSmw).
+    Tc = arena.kf_pose[cand]
+    Rcw, tcw, scw = lie.sim3_compose(Rn, tn, sn, Tc[:3, :3], Tc[:3, 3], 1.0)
+    cap = min(4096, arena.pmax)
+    score = jnp.where(loop_pt_mask & arena.pt_valid,
+                      1.0 + arena.pt_n_obs.astype(jnp.float32), 0.0)
+    _, cand_ids = jax.lax.approx_max_k(score, cap)
+    cand_ids = cand_ids.astype(jnp.int32)
+    pw = arena.pt_pos[cand_ids]
+    uv_p, zok = project(lie.sim3_apply(Rcw, tcw, scw, pw))
+    pvalid = loop_pt_mask[cand_ids] & arena.pt_valid[cand_ids] & zok & \
+        (uv_p[..., 0] >= 0) & (uv_p[..., 0] < cam.width) & \
+        (uv_p[..., 1] >= 0) & (uv_p[..., 1] < cam.height)
+    pdesc = orb_ops.descriptors_pm1(arena.pt_desc[cand_ids], pvalid)
+    mP = matcher.match_candidates(
+        uv_p, pvalid, pdesc, jnp.zeros(cap, jnp.int32), jnp.zeros(cap),
+        jnp.full(cap, 10.0), uv1, arena.kf_kp_valid[kf_id], d1, lvl1,
+        arena.kf_angle[kf_id], th_hamming=matcher.TH_LOW, level_slack=8,
+        use_rotation=False)
+    proj_hit = mP.point_idx >= 0
+    # nTotalMatches: keypoints matched by projection OR already Sim3 inliers
+    n_total = jnp.sum(proj_hit | (inl & valid))
+    return Rn, tn, sn, n_opt, n_total
+
+
 class LoopCloser:
     def __init__(self, cfg: SlamConfig, vocab: voc.Vocabulary, kmax: int):
         self.cfg = cfg
@@ -61,6 +182,10 @@ class LoopCloser:
         self.last_loop_kf = -MIN_KF_GAP
         self._consistent: dict[int, int] = {}   # candidate group -> streak
         self.loops: list[tuple[int, int, np.ndarray]] = []  # (cur, cand, T_meas)
+        # bFixScale (Sim3Solver.h:20): True for RGB-D/stereo (metric depth),
+        # False for monocular — System sets this from the sensor.
+        self.fix_scale = True
+        self.last_sim3 = None   # (R, t, s) of the last accepted loop
 
     def reset(self):
         """Clear the keyframe database + consistency state (the LoopClosing
@@ -80,39 +205,51 @@ class LoopCloser:
         self.db = kdb.db_add(self.db, jnp.asarray(kf_id), vec, words)
 
     # --------------------------------------------------------------- detect
-    def detect(self, arena: ma.MapArena, kf_id: int) -> Optional[int]:
-        """DetectLoop host logic with consistency streaks. Returns candidate
-        keyframe id or None."""
+    def detect(self, arena: ma.MapArena, kf_id: int) -> list[int]:
+        """DetectLoop host logic with consistency streaks. Returns ALL
+        candidates whose streak reached CONSISTENCY_TH (the reference's
+        mvpEnoughConsistentCandidates, LoopClosing.cc:150-230 — ComputeSim3
+        then tries each in turn)."""
         if kf_id - self.last_loop_kf < MIN_KF_GAP:
-            return None
+            return []
         ids, scores, min_score = kdb.loop_candidates(self.db, arena,
                                                      jnp.asarray(kf_id))
         ids = np.asarray(ids)
         scores = np.asarray(scores)
-        cand = [int(i) for i, s in zip(ids, scores)
-                if s > max(float(min_score), 1e-6) and i >= 0]
+        cand = []
+        for i, s in zip(ids, scores):
+            if s > max(float(min_score), 1e-6) and i >= 0 and \
+                    int(i) not in cand:
+                cand.append(int(i))
         # Consistency groups: a candidate (or its covisible neighborhood)
         # must recur for CONSISTENCY_TH consecutive keyframes (cc:150-230).
         covis = np.asarray(arena.covis)
         new_streaks: dict[int, int] = {}
-        accepted = None
+        accepted: list[int] = []
         for c in cand:
             streak = 1
             for prev, s in self._consistent.items():
-                if prev == c or covis[prev, c] > 0:
+                # group consistency via the covisibility GRAPH (weight>=15
+                # edges, matching GetConnectedKeyFrames semantics)
+                if prev == c or covis[prev, c] >= 15:
                     streak = max(streak, s + 1)
             new_streaks[c] = streak
             if streak >= CONSISTENCY_TH:
-                accepted = c
+                accepted.append(c)
         self._consistent = new_streaks
         return accepted
 
     # --------------------------------------------------------------- verify
     def compute_transform(self, arena: ma.MapArena, kf_id: int, cand: int):
-        """ComputeSim3: BoW matches -> RANSAC rigid/sim3 -> accept.
+        """ComputeSim3 (LoopClosing.cc:231-400): BoW matches -> Sim3 RANSAC
+        hypothesis -> SearchBySim3 match growth -> OptimizeSim3 GN (>=20
+        refined inliers, cc:371) -> loop-map-point projection with the
+        final >=40-match acceptance (cc:395).
 
-        Returns (ok, T_cur_cand [4,4], n_inliers): T maps candidate-frame
-        coords into current-frame coords."""
+        Returns (ok, T_cur_cand [4,4], n_matches): T maps candidate-frame
+        coords into current-frame coords (for mono, scale is folded into
+        the rotation/translation part of the returned matrix; the raw
+        (R, t, s) of the accepted transform is stored in self.last_sim3)."""
         cfg = self.cfg
         cam = cfg.camera
         m_idx, n_m = _bow_guided_matches(
@@ -127,14 +264,38 @@ class LoopCloser:
         ok = (m_idx >= 0) & (z_a > 0) & (z_b > 0)
         P_cand = cam_ops.backproject(arena.kf_uv[cand][rows], z_b, cam)
         Q_cur = cam_ops.backproject(arena.kf_uv[kf_id], z_a, cam)
+        with_scale = not self.fix_scale
         R, t, s, inl, n_inl, okflag = solvers.ransac_sim3(
             P_cand, Q_cur, ok, jax.random.PRNGKey(kf_id),
             n_iters=300, min_inliers=MIN_BOW_MATCHES, err_threshold=0.10,
-            with_scale=False)
-        if not bool(okflag) or int(n_inl) < MIN_ACCEPT_MATCHES // 2:
+            with_scale=with_scale)
+        if not bool(okflag):
             return False, None, int(n_inl)
-        T = lie.rt_to_mat(R, t)
-        return True, T, int(n_inl)
+        # Verification tail: growth + GN refinement + loop-point projection
+        # count, one device program.
+        loop_mask = self._loop_point_mask(arena, cand)
+        Rn, tn, sn, n_opt, n_total = _sim3_verify_program(
+            arena, jnp.asarray(kf_id), jnp.asarray(cand), (R, t, s),
+            m_idx, loop_mask, cfg, with_scale)
+        n_opt, n_total = int(n_opt), int(n_total)
+        if n_opt < MIN_BOW_MATCHES or n_total < MIN_ACCEPT_MATCHES:
+            return False, None, n_total
+        self.last_sim3 = (np.asarray(Rn), np.asarray(tn), float(sn))
+        T = lie.rt_to_mat(float(sn) * Rn, tn)
+        return True, T, n_total
+
+    @staticmethod
+    @jax.jit
+    def _loop_point_mask(arena: ma.MapArena, cand) -> jnp.ndarray:
+        """[pmax] bool: map points observed by the candidate's covisible
+        group (mvpLoopMapPoints, LoopClosing.cc:305-320)."""
+        group = (arena.covis[cand] > 0) | \
+            (jnp.arange(arena.kmax) == cand)
+        group = group & arena.kf_valid
+        obs = jnp.where(group[:, None], arena.kf_obs, -1)
+        mask = jnp.zeros(arena.pmax, bool)
+        return mask.at[jnp.where(obs >= 0, obs, 0).reshape(-1)].max(
+            (obs >= 0).reshape(-1))
 
     # -------------------------------------------------------------- correct
     def correct(self, arena: ma.MapArena, kf_id: int, cand: int,
@@ -223,12 +384,13 @@ class LoopCloser:
 
     # ----------------------------------------------------------------- main
     def process_keyframe(self, arena: ma.MapArena, kf_id: int) -> ma.MapArena:
-        """Full per-keyframe loop-closing step (the Run loop body)."""
+        """Full per-keyframe loop-closing step (the Run loop body): every
+        consistent candidate is geometrically verified in turn; the first
+        to survive the Sim3 verification tail closes the loop
+        (LoopClosing.cc:231-400 iterates nInitialCandidates)."""
         self.add_keyframe(arena, kf_id)
-        cand = self.detect(arena, kf_id)
-        if cand is None:
-            return arena
-        ok, T, n_inl = self.compute_transform(arena, kf_id, cand)
-        if not ok:
-            return arena
-        return self.correct(arena, kf_id, cand, T)
+        for cand in self.detect(arena, kf_id):
+            ok, T, n_inl = self.compute_transform(arena, kf_id, cand)
+            if ok:
+                return self.correct(arena, kf_id, cand, T)
+        return arena

@@ -123,4 +123,5 @@ def optimize(kf_pose: jnp.ndarray, kf_valid: jnp.ndarray,
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0).reshape(K, 6)
         return jax.vmap(lambda x, T: lie.se3_exp(x) @ T)(dx, poses)
 
-    return jax.lax.fori_loop(0, iters, gn_iter, kf_pose)
+    out = jax.lax.fori_loop(0, iters, gn_iter, kf_pose)
+    return lie.se3_orthonormalize(out)

@@ -249,3 +249,84 @@ def ransac_sim3(P: jnp.ndarray, Q: jnp.ndarray, valid: jnp.ndarray,
     R, t, s = horn_alignment(P, Q, w, with_scale=with_scale)
     n_fin, inl_fin = score_one(R, t, s)
     return R, t, s, inl_fin, n_fin, n_fin >= min_inliers
+
+
+@partial(jax.jit, static_argnums=(9, 10))
+def optimize_sim3(X1, X2, uv1, uv2, inv_sigma2_1, inv_sigma2_2, valid,
+                  S12_init, K, with_scale: bool = False, th2: float = 10.0):
+    """Gauss-Newton Sim3 refinement on bidirectional reprojection residuals
+    — Optimizer::OptimizeSim3 (reference Optimizer.cc:1262-1391) semantics.
+
+    X1/X2: [N, 3] matched 3D points in KF1/KF2 camera coords; uv1/uv2 their
+    observed keypoints in the respective images; S12_init = (R, t, s) maps
+    cam2 coords into cam1 (the RANSAC hypothesis). Edge pair per match
+    (Optimizer.cc:1300-1345): e12 = uv1 - proj(S12 X2) and
+    e21 = uv2 - proj(S12^-1 X1), Huber, chi2 cull at th2=10 per direction
+    after the first round (cc:1350-1365), second round on survivors, final
+    inlier = both directions under th2.
+
+    Returns (R, t, s, inliers [N] bool, n_inliers). TPU design: one fused
+    GN program, jacfwd over the 7-vector tangent (scale column zeroed when
+    with_scale=False), fixed 2x5 iterations — no per-edge host loop."""
+    fx, fy, cx, cy = K
+    delta = jnp.sqrt(th2)
+    R0, t0, s0 = S12_init
+    n = X1.shape[0]
+
+    def proj(Xc):
+        z = jnp.maximum(Xc[..., 2], 1e-6)
+        return jnp.stack([fx * Xc[..., 0] / z + cx,
+                          fy * Xc[..., 1] / z + cy], axis=-1)
+
+    def residuals(xi, R, t, s):
+        # left-multiplicative tangent update: S = exp(xi) o S
+        dR, dt, ds = lie.sim3_exp(xi)
+        Rn, tn, sn = lie.sim3_compose(dR, dt, ds, R, t, s)
+        X2_in1 = lie.sim3_apply(Rn, tn, sn, X2)
+        Ri, ti, si = lie.sim3_inverse(Rn, tn, sn)
+        X1_in2 = lie.sim3_apply(Ri, ti, si, X1)
+        r12 = (uv1 - proj(X2_in1)) * jnp.sqrt(inv_sigma2_1)[:, None]
+        r21 = (uv2 - proj(X1_in2)) * jnp.sqrt(inv_sigma2_2)[:, None]
+        return r12, r21
+
+    def chi2_pair(R, t, s):
+        r12, r21 = residuals(jnp.zeros(7), R, t, s)
+        return jnp.sum(r12 * r12, -1), jnp.sum(r21 * r21, -1)
+
+    def gn_round(R, t, s, active, n_iters):
+        def body(_, carry):
+            R, t, s = carry
+
+            def flat(xi):
+                r12, r21 = residuals(xi, R, t, s)
+                return jnp.concatenate([r12, r21], axis=0)   # [2N, 2]
+
+            r = flat(jnp.zeros(7))
+            J = jax.jacfwd(flat)(jnp.zeros(7))               # [2N, 2, 7]
+            if not with_scale:
+                J = J.at[..., 6].set(0.0)
+            # Huber weights per edge (per direction), shared over u/v
+            chi = jnp.sum(r * r, axis=-1)
+            w_h = jnp.where(chi <= th2, 1.0,
+                            delta / jnp.sqrt(jnp.maximum(chi, 1e-12)))
+            w = w_h * jnp.concatenate([active, active]).astype(jnp.float32)
+            JW = J * w[:, None, None]
+            H = jnp.einsum("nri,nrj->ij", JW, J, precision=_PREC)
+            g = jnp.einsum("nri,nr->i", JW, r, precision=_PREC)
+            H = H + 1e-6 * jnp.eye(7)
+            if not with_scale:
+                H = H.at[6, 6].set(1.0)
+            xi = -jnp.linalg.solve(H, g)
+            dR, dt, ds = lie.sim3_exp(xi)
+            return lie.sim3_compose(dR, dt, ds, R, t, s)
+
+        return jax.lax.fori_loop(0, n_iters, body, (R, t, s))
+
+    active = valid
+    R1, t1, s1 = gn_round(R0, t0, s0, active, 5)
+    c12, c21 = chi2_pair(R1, t1, s1)
+    active = valid & (c12 <= th2) & (c21 <= th2)
+    R2, t2, s2 = gn_round(R1, t1, s1, active, 5)
+    c12, c21 = chi2_pair(R2, t2, s2)
+    inl = valid & (c12 <= th2) & (c21 <= th2)
+    return R2, t2, s2, inl, jnp.sum(inl)

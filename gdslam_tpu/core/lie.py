@@ -133,6 +133,30 @@ def se3_apply(T: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return _mv(T[..., :3, :3], p) + T[..., :3, 3]
 
 
+def so3_project(R: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
+    """Project near-orthogonal R onto SO(3) by Newton-Schulz polar iteration
+    R <- 0.5 R (3I - R^T R); quadratic convergence for ||R^T R - I|| < 1.
+
+    Load-bearing: the per-frame tracking cycle computes
+    vel = T_cur @ se3_inverse(T_prev); se3_inverse is the TRANSPOSE inverse,
+    which is wrong for a non-orthogonal R, so any deviation from SO(3)
+    AMPLIFIES geometrically (measured x2.4/frame — float32 rounding alone
+    reaches det(R)=1.14 within ~20 frames and breaks every downstream
+    transpose-inverse, including loop-closure propagation). GN pose updates
+    (exp(xi) @ T) preserve but never remove the deviation, so the state
+    boundary must re-project. TPU-friendly: 3 tiny matmuls, no SVD."""
+    I = jnp.eye(3, dtype=R.dtype)
+    for _ in range(iters):
+        R = 0.5 * _mm(R, 3.0 * I - _mm(jnp.swapaxes(R, -1, -2), R))
+    return R
+
+
+def se3_orthonormalize(T: jnp.ndarray) -> jnp.ndarray:
+    """Re-project the rotation block of (a batch of) rigid transforms onto
+    SO(3), keeping translation; see so3_project for why this is required."""
+    return rt_to_mat(so3_project(T[..., :3, :3]), T[..., :3, 3])
+
+
 # ----------------------------------------------------------------------------
 # Sim3 (for loop closing / essential graph; reference sim3.h + Sim3Solver)
 # ----------------------------------------------------------------------------

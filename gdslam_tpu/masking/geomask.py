@@ -82,10 +82,10 @@ def relative_pose(ref_gray, ref_depth, cur_gray, cur_depth, cfg: SlamConfig,
     return res.T, res.n_inliers
 
 
-@partial(jax.jit, static_argnums=(5, 6))
+@partial(jax.jit, static_argnums=(5, 6, 9))
 def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
                      cfg: SlamConfig, use_otsu: bool = False,
-                     ref_gray=None, cur_gray=None):
+                     ref_gray=None, cur_gray=None, flow_is_half: bool = False):
     """GetNoGMMmask core (GeoMaskMaker.cc:167-326) as one fused program.
 
     The output mask is indexed by the *first* frame's pixel grid; `flow`
@@ -95,24 +95,55 @@ def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
     the mask to frame t, accepting the object-motion misalignment; indexing
     by the current frame keeps the mask aligned with the frame it culls).
 
+    TPU design: at production resolutions (>=240 rows) the whole program
+    runs at HALF resolution and the mask is upsampled at the end. The three
+    warp gathers dominated the full-res program (~15 ms each of 42 ms total
+    on v5e); at 240x320 the gather operand stays inside the fast path and
+    elementwise/reduction work drops 4x. Mask fidelity is unaffected at the
+    blob scale this masker feeds (keypoint culling + morphological open);
+    the per-level flow already came from a half-res refinement. Small test
+    rigs (<240 rows) keep the full-res path — at 120x160 the half grid has
+    too few pixels per blob for the statistics to survive.
+
+    flow_is_half: `flow` is already [H/2, W/2, 2] in half-res pixel units
+    (farneback_flow(..., finest_level=1, upsample=False)); otherwise a
+    full-res [H, W, 2] flow is subsampled. Only meaningful on the half-res
+    path (use `use_half_res(cfg)` to pick the flow form).
+
     Returns (mask [H,W] float 1=static, dist_norm [H,W] in [0,255])."""
+    import dataclasses
     cam = cfg.camera
     gcfg = cfg.geomask
-    H, W = cam.height, cam.width
-    fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+    Hf, Wf = cam.height, cam.width
+    half = use_half_res(cfg)
+    if half:
+        # Half grid: pixel (vh, uh) covers full-res pixel (2vh, 2uh), so
+        # (u_f - cx)/fx == (u_h - cx/2)/(fx/2): intrinsics simply halve.
+        H, W = (Hf + 1) // 2, (Wf + 1) // 2
+        fx, fy, cx, cy = cam.fx / 2, cam.fy / 2, cam.cx / 2, cam.cy / 2
+        cam_h = dataclasses.replace(cam, fx=fx, fy=fy, cx=cx, cy=cy,
+                                    width=W, height=H)
+        ref_depth = ref_depth[::2, ::2]  # nearest: never average true depths
+        cur_depth = cur_depth[::2, ::2]  # across discontinuities
+        fl = flow if flow_is_half else flow[::2, ::2] * 0.5
+    else:
+        H, W = Hf, Wf
+        fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+        cam_h = cam
+        fl = flow
     v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
 
     z_ref = ref_depth
-    uv_cur = jnp.stack([u + flow[..., 0], v + flow[..., 1]], axis=-1)
+    uv_cur = jnp.stack([u + fl[..., 0], v + fl[..., 1]], axis=-1)
     z_cur = image_ops.bilinear_sample(cur_depth, uv_cur)
     in_img = (uv_cur[..., 0] >= 0) & (uv_cur[..., 0] < W - 1) & \
              (uv_cur[..., 1] >= 0) & (uv_cur[..., 1] < H - 1)
 
     # Validity: depth gates (cc:229) + edge rejection on both frames
     # (cc:198-199, 224-228).
-    ref_edges = edge_ops.depth_edges(ref_depth, cam)
-    cur_edges = edge_ops.depth_edges(cur_depth, cam)
+    ref_edges = edge_ops.depth_edges(ref_depth, cam_h)
+    cur_edges = edge_ops.depth_edges(cur_depth, cam_h)
     cur_edge_at = image_ops.bilinear_sample(cur_edges.astype(jnp.float32),
                                             uv_cur) > 0.1
     valid = (z_ref > 0) & (z_ref <= gcfg.max_depth) & \
@@ -121,9 +152,17 @@ def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
     if ref_gray is not None and cur_gray is not None:
         # Flow-quality gate: pixels whose warp is photometrically
         # inconsistent have unreliable flow; a wrong-flow Mahalanobis value
-        # would otherwise dominate the normalization.
-        warped = image_ops.bilinear_sample(cur_gray, uv_cur)
-        valid = valid & (jnp.abs(warped - ref_gray) < 30.0)
+        # would otherwise dominate the normalization. On the half grid the
+        # grays are 2x2 mean-pooled, NOT subsampled: aliased [::2, ::2]
+        # texture fails this gate on ~40% of genuinely-dynamic pixels
+        # (measured on the synthetic rig), gutting the mask.
+        if half:
+            rg = _pool2(ref_gray, Hf, Wf)
+            cg = _pool2(cur_gray, Hf, Wf)
+        else:
+            rg, cg = ref_gray, cur_gray
+        warped = image_ops.bilinear_sample(cg, uv_cur)
+        valid = valid & (jnp.abs(warped - rg) < 30.0)
 
     # Everything below runs PLANAR (structure-of-arrays: separate [H, W]
     # planes per vector/matrix component). Stacked [H, W, 3] / [H, W, 3, 3]
@@ -143,10 +182,16 @@ def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
     dz = z_cur - (R[2, 0] * xr + R[2, 1] * yr + R[2, 2] * z_ref + T[2])
 
     sigma = gcfg.depth_sigma
-    f_mean = 0.5 * (fx + fy)
+    # depth2std is a SENSOR model: it uses the physical focal length
+    # regardless of the processing grid (halving f here would double the
+    # modeled depth std and halve every z-dominated Mahalanobis distance).
+    f_mean = 0.5 * (cam.fx + cam.fy)
     var_zc = ((sigma / f_mean) * z_cur * z_cur) ** 2   # depth2std^2 (cc:1386)
     var_zr = ((sigma / f_mean) * z_ref * z_ref) ** 2
-    sig_px = 1.0
+    # 1 FULL-res pixel of keypoint/flow noise = 0.5 half-grid pixels, so the
+    # variance in half-grid units is 0.25 (the noise model is metric; only
+    # the units changed with the half-res grid).
+    sig_px = 0.25 if half else 1.0
 
     def backproj_cov(uu, vv, z, var_z):
         """J S J^T for J = d(backproject)/d(u,v,z), S = diag(s,s,var_z):
@@ -241,14 +286,42 @@ def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
     # stretch guarantees large normalized values even when every raw
     # distance is statistically insignificant).
     dynamic = valid & (dist >= thr) & (m >= 15.0)
-    # Morphological opening (erode 5 then dilate 11) removes isolated
-    # bad-flow false positives and closes the detected blob — the role the
+    # Morphological opening (erode then dilate) removes isolated bad-flow
+    # false positives and closes the detected blob — the role the
     # reference's downstream DepthRegionGrowing + dilation plays
-    # (Geometry.cc:415-450).
+    # (Geometry.cc:415-450). Half-grid windows are half the full-res 5/7
+    # (same metric extent).
     from gdslam_tpu.frontend.frame import dilate_mask, erode_mask
-    dynamic = dilate_mask(erode_mask(dynamic, 5), 7)
+    if half:
+        dynamic = dilate_mask(erode_mask(dynamic, 3), 5)
+    else:
+        dynamic = dilate_mask(erode_mask(dynamic, 5), 7)
     geo_static = 1.0 - dynamic.astype(jnp.float32)
+    if half:
+        # Back to full resolution (nearest): the consumers are keypoint
+        # culling and blob-level mask fusion, both insensitive to 1-px
+        # boundary quanta.
+        geo_static = jnp.repeat(jnp.repeat(geo_static, 2, 0), 2, 1)[:Hf, :Wf]
+        dist = jnp.repeat(jnp.repeat(dist, 2, 0), 2, 1)[:Hf, :Wf]
     return jnp.minimum(geo_static, sem_mask), dist
+
+
+def use_half_res(cfg: SlamConfig) -> bool:
+    """Whether the Mahalanobis masker runs on the half grid (production
+    resolutions) or full-res (small test rigs, <240 rows)."""
+    return cfg.camera.height >= 240
+
+
+def _pool2(img, Hf: int, Wf: int):
+    """2x2 mean pool (antialiased half-res gray for the photometric gate)."""
+    He, We = Hf - (Hf % 2), Wf - (Wf % 2)
+    g = img[:He, :We]
+    g = 0.25 * (g[0::2, 0::2] + g[1::2, 0::2] + g[0::2, 1::2] + g[1::2, 1::2])
+    # pad back to ceil-half shape if the full-res dims were odd
+    H, W = (Hf + 1) // 2, (Wf + 1) // 2
+    if g.shape != (H, W):
+        g = jnp.pad(g, ((0, H - g.shape[0]), (0, W - g.shape[1])), mode="edge")
+    return g
 
 
 def _otsu_threshold(dist: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -303,13 +376,15 @@ def gd_step(cur_gray, cur_depth, sem_mask, ref_gray, ref_depth,
                                (cam.fx, cam.fy, cam.cx, cam.cy),
                                ref_feats.uv[idx], n_iters=300, min_inliers=20,
                                px_threshold=4.0)
-    # half-resolution finest level: the Mahalanobis consumer samples flow
-    # bilinearly, and full-res warps dominate the GD pipeline (profiled)
+    # half-resolution finest level, consumed at half res directly when the
+    # Mahalanobis program runs on the half grid (see its docstring)
+    half = use_half_res(cfg)
     flow = flow_ops.farneback_flow(cur_gray, ref_gray, levels=5,
-                                   finest_level=1)
+                                   finest_level=1, upsample=not half)
     mask, _ = mahalanobis_mask(cur_depth, ref_depth, flow, res.T, sem_mask,
                                cfg, cfg.geomask.use_otsu,
-                               ref_gray=cur_gray, cur_gray=ref_gray)
+                               ref_gray=cur_gray, cur_gray=ref_gray,
+                               flow_is_half=half)
     pose_ok = res.n_inliers >= cfg.geomask.min_matches
     refined = jnp.where(pose_ok, mask, sem_mask)
     return feats, refined
@@ -333,6 +408,36 @@ class GeoMaskMaker:
         if len(self.ring) > self.cfg.geomask.inter_frame_size + 1:
             self.ring.pop(0)
         self.frame_count += 1
+
+    # -- fused-dispatch support (System.track_rgbd_gd fast path) -----------
+    @property
+    def warm(self) -> bool:
+        """True once get_mask would run the real masker for the NEXT frame
+        (frame_count will exceed inter_frame_size after the push)."""
+        return self.frame_count >= self.cfg.geomask.inter_frame_size
+
+    def ref_for_next(self):
+        """The ring entry that will be ring[0] (the t-5 pairing) after the
+        next push — resolved BEFORE the push so the fused program can take
+        it as an input. Ensures cached features exist (extracting here is
+        rare: only entries inserted by the non-fused path lack them)."""
+        idx = 1 if len(self.ring) > self.cfg.geomask.inter_frame_size else 0
+        gray, depth, feats = self.ring[idx]
+        if feats is None:
+            cam = self.cfg.camera
+            feats = extractor.extract(gray, self.cfg.orb,
+                                      cam.height, cam.width)
+            self.ring[idx] = (gray, depth, feats)
+        return gray, depth, feats
+
+    def push(self, gray, depth, feats):
+        """Ring bookkeeping for a frame whose mask was computed by the fused
+        program (add_new_image + the feature caching get_mask would do)."""
+        self.ring.append((gray, depth, feats))
+        if len(self.ring) > self.cfg.geomask.inter_frame_size + 1:
+            self.ring.pop(0)
+        self.frame_count += 1
+        self.last_feats = feats
 
     def get_mask(self, sem_mask):
         """Refined static mask [H, W] float (1 = static)."""

@@ -105,16 +105,20 @@ def _flow_step(A1, b1, img2, flow, winsize: int):
     return jnp.stack([fx, fy], axis=-1)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def farneback_flow(img1: jnp.ndarray, img2: jnp.ndarray, levels: int = 3,
                    winsize: int = 15, iterations: int = 3,
-                   finest_level: int = 0) -> jnp.ndarray:
+                   finest_level: int = 0, upsample: bool = True) -> jnp.ndarray:
     """Dense flow img1 -> img2, [H, W, 2] (du, dv) in pixels.
 
     finest_level > 0 stops the coarse-to-fine refinement early and
     upsamples the result — e.g. finest_level=1 computes at half resolution
     (4x cheaper warps) which is plenty for the Mahalanobis masker (its
     consumers sample the flow bilinearly anyway).
+
+    upsample=False returns the flow AT finest_level's resolution, in
+    finest_level pixel units (for consumers that themselves run at reduced
+    resolution, e.g. the half-res Mahalanobis masker).
     """
     H, W = img1.shape
     # Build pyramids (scale 0.5).
@@ -130,6 +134,8 @@ def farneback_flow(img1: jnp.ndarray, img2: jnp.ndarray, levels: int = 3,
         A1, b1 = poly_expansion(p1[lv])
         for _ in range(iterations):
             flow = _flow_step(A1, b1, p2[lv], flow, winsize)
+        if lv == finest_level and not upsample:
+            return flow
         if lv > 0:
             h, w = shapes[lv - 1]
             flow = 2.0 * jnp.stack(

