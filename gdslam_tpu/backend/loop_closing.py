@@ -146,6 +146,19 @@ def _sim3_verify_program(arena: ma.MapArena, kf_id, cand, S12, bow_idx,
         X1, X2[rows2], uv1, uv2[rows2],
         _inv_sigma2(lvl1, sf), _inv_sigma2(lvl2[rows2], sf), valid,
         (R12, t12, s12), K, with_scale)
+    if with_scale:
+        # Scale is WEAKLY observable in image space (projection is near
+        # scale-invariant for distant structure: proj(sRX+t) ~ proj(RX)
+        # when |RX| >> |t|), so the reprojection GN can drift the scale
+        # while keeping residuals small (measured: 1.17 -> 0.96 against a
+        # 1.3 ground truth). The 3D-3D Horn alignment over the GN's
+        # inlier pairs constrains scale STRONGLY (spread ratio of the two
+        # point sets); keep GN for match selection, Horn for the final
+        # transform.
+        Rh, th, sh = solvers.horn_alignment(
+            X2[rows2], X1, (inl & valid).astype(jnp.float32),
+            with_scale=True)
+        Rn, tn, sn = Rh, th, sh
 
     # --- loop-map-point projection count (the >=40 acceptance basis) ----
     # Corrected current pose as a Sim3: Scw = S12 o T_cand_w
@@ -257,18 +270,25 @@ class LoopCloser:
             arena.kf_desc[cand], arena.kf_kp_valid[cand], self.db.words[cand])
         if int(n_m) < MIN_BOW_MATCHES:
             return False, None, 0
-        # 3D points in each keyframe's camera from keypoint depth.
-        z_a = arena.kf_depth[kf_id]
+        # 3D per matched keypoint in each camera: the observed MAP POINT
+        # where one exists, else the depth backprojection (Sim3Solver.cc:
+        # 40-60 uses vpMapPoints — required for monocular, where kf_depth
+        # is empty, and more drift-consistent for RGB-D too).
         rows = jnp.maximum(m_idx, 0)
-        z_b = arena.kf_depth[cand][rows]
-        ok = (m_idx >= 0) & (z_a > 0) & (z_b > 0)
-        P_cand = cam_ops.backproject(arena.kf_uv[cand][rows], z_b, cam)
-        Q_cur = cam_ops.backproject(arena.kf_uv[kf_id], z_a, cam)
+        Q_cur, has_a = _kf_points_cam(arena, jnp.asarray(kf_id), cfg)
+        P_all, has_b = _kf_points_cam(arena, jnp.asarray(cand), cfg)
+        P_cand = P_all[rows]
+        ok = (m_idx >= 0) & has_a & has_b[rows]
         with_scale = not self.fix_scale
         R, t, s, inl, n_inl, okflag = solvers.ransac_sim3(
             P_cand, Q_cur, ok, jax.random.PRNGKey(kf_id),
             n_iters=300, min_inliers=MIN_BOW_MATCHES, err_threshold=0.10,
-            with_scale=with_scale)
+            with_scale=with_scale,
+            uv_p=arena.kf_uv[cand][rows], uv_q=arena.kf_uv[kf_id],
+            K=(cam.fx, cam.fy, cam.cx, cam.cy),
+            px_threshold=3.04 * float(cfg.orb.scale_factor) ** jnp.maximum(
+                arena.kf_level[kf_id],
+                arena.kf_level[cand][rows]).astype(jnp.float32))
         if not bool(okflag):
             return False, None, int(n_inl)
         # Verification tail: growth + GN refinement + loop-point projection
@@ -302,7 +322,15 @@ class LoopCloser:
                 T_cur_cand: jnp.ndarray) -> ma.MapArena:
         """CorrectLoop: recompute the current keyframe's pose through the
         loop constraint, propagate to its covisible group and their points,
-        then optimize the essential graph (Optimizer.cc:997-1260)."""
+        then optimize the essential graph (Optimizer.cc:997-1260).
+
+        With fix_scale=False (monocular) the whole correction runs over
+        Sim3 — propagation carries the measured scale, the essential graph
+        has 7-dof vertices, and poses/points are rescaled on write-back —
+        so scale drift distributes around the loop (LoopClosing.cc:402-585
+        with mg2oScw a true Sim3)."""
+        if not self.fix_scale and self.last_sim3 is not None:
+            return self._correct_sim3(arena, kf_id, cand)
         # Pre-correction poses: the essential-graph edge measurements must be
         # taken BEFORE any loop propagation (the reference's NonCorrectedSim3,
         # LoopClosing.cc:438-470) — otherwise every edge residual is zero and
@@ -360,6 +388,86 @@ class LoopCloser:
             kf_pose=new_kf_pose,
             pt_pos=jnp.where(arena.pt_valid[:, None], new_pts, arena.pt_pos))
 
+        return self._finish_correct(arena, kf_id, cand, loop_T[0])
+
+    def _correct_sim3(self, arena: ma.MapArena, kf_id: int,
+                      cand: int) -> ma.MapArena:
+        """The monocular CorrectLoop: Sim3 propagation + 7-dof essential
+        graph + scale-aware pose/point write-back."""
+        from gdslam_tpu.backend import pose_graph as pg
+        R12 = jnp.asarray(self.last_sim3[0])
+        t12 = jnp.asarray(self.last_sim3[1])
+        s12 = jnp.asarray(self.last_sim3[2])
+        pose_pre = arena.kf_pose
+        K = arena.kmax
+
+        # Corrected current vertex: S_corr = S12 o T_cand_w
+        # (LoopClosing.cc:341 mScw = gScm * gSmw).
+        Tc = arena.kf_pose[cand]
+        Rcw, tcw, scw = lie.sim3_compose(R12, t12, s12,
+                                         Tc[:3, :3], Tc[:3, 3], 1.0)
+        T_old = arena.kf_pose[kf_id]
+
+        # Propagate to the covisible group: S_i_prop = (T_i o T_old^-1) o
+        # S_corr (CorrectedSim3, cc:438-470); non-group vertices keep their
+        # SE3 pose at scale 1 (NonCorrectedSim3).
+        group = (arena.covis[kf_id] > 0) | (jnp.arange(K) == kf_id)
+        group = group & arena.kf_valid
+        rel = jnp.einsum("kij,jl->kil", arena.kf_pose,
+                         lie.se3_inverse(T_old))          # rigid, [K,4,4]
+        Rg = jnp.einsum("kij,jl->kil", rel[:, :3, :3], Rcw)
+        tg = jnp.einsum("kij,j->ki", rel[:, :3, :3], tcw) + rel[:, :3, 3]
+        R_p = jnp.where(group[:, None, None], Rg, pose_pre[:, :3, :3])
+        t_p = jnp.where(group[:, None], tg, pose_pre[:, :3, 3])
+        s_p = jnp.where(group, scw, 1.0)
+
+        # Group points move with the uniform Sim3 M = S_corr^-1 o T_old
+        # (all group members share the same right factor, so the reference's
+        # per-keyframe eigCorrectedP3Dw map collapses to one transform).
+        pt_in_group = jnp.zeros(arena.pmax, bool)
+        obs = jnp.where(group[:, None], arena.kf_obs, -1)
+        pt_in_group = pt_in_group.at[
+            jnp.where(obs >= 0, obs, 0).reshape(-1)].max(
+            (obs >= 0).reshape(-1))
+        Rmi, tmi, smi = lie.sim3_inverse(Rcw, tcw, scw)
+        Rm, tm, sm = lie.sim3_compose(Rmi, tmi, smi,
+                                      T_old[:3, :3], T_old[:3, 3], 1.0)
+        moved = lie.sim3_apply(Rm, tm, sm, arena.pt_pos)
+        arena = arena._replace(
+            pt_pos=jnp.where(pt_in_group[:, None], moved, arena.pt_pos))
+
+        # 7-dof essential graph: tree/covis measurements from the
+        # pre-correction SE3 poses (scale 1), the loop edge from the
+        # measured Sim3; initialized at the propagated vertices.
+        loop_T = lie.rt_to_mat(R12, t12)[None]
+        edges = pg.build_edges(
+            pose_pre, arena.kf_valid, arena.kf_parent, arena.covis,
+            jnp.asarray([kf_id], jnp.int32), jnp.asarray([cand], jnp.int32),
+            loop_T, jnp.asarray([True]), loop_s=s12[None])
+        R_n, t_n, s_n = pg.optimize_sim3_graph(
+            R_p, t_p, s_p, arena.kf_valid, edges, fix_scale=False)
+
+        # Point write-back: each point moves with its reference keyframe's
+        # Sim3 change, x' = S_ref_new^-1(S_ref_prop(x)) (Optimizer.cc:1225-
+        # 1250 vCorrectedSwc map).
+        ref = jnp.clip(arena.pt_ref_kf, 0, K - 1)
+        Ri_, ti_, si_ = jax.vmap(lie.sim3_inverse)(
+            R_n[ref], t_n[ref], s_n[ref])
+        Rpt, tpt, spt = jax.vmap(lie.sim3_compose)(
+            Ri_, ti_, si_, R_p[ref], t_p[ref], s_p[ref])
+        new_pts = jax.vmap(lie.sim3_apply)(Rpt, tpt, spt, arena.pt_pos)
+
+        # Pose write-back: SE3 = [R | t/s] (Optimizer.cc:1235 eigt *= 1/s).
+        new_kf_pose = lie.rt_to_mat(R_n, t_n / s_n[:, None])
+        arena = arena._replace(
+            kf_pose=jnp.where(arena.kf_valid[:, None, None], new_kf_pose,
+                              arena.kf_pose),
+            pt_pos=jnp.where(arena.pt_valid[:, None], new_pts, arena.pt_pos))
+        T_meas = lie.rt_to_mat(s12 * R12, t12)
+        return self._finish_correct(arena, kf_id, cand, T_meas)
+
+    def _finish_correct(self, arena: ma.MapArena, kf_id: int, cand: int,
+                        T_meas) -> ma.MapArena:
         # SearchAndFuse (LoopClosing.cc:525-560): with the poses corrected,
         # project the map into the current keyframe and its best covisible
         # neighbors and merge duplicate landmarks across the seam — the
@@ -378,7 +486,7 @@ class LoopCloser:
                                              gate_outliers=True)
 
         self.last_loop_kf = kf_id
-        self.loops.append((kf_id, cand, np.asarray(loop_T[0])))
+        self.loops.append((kf_id, cand, np.asarray(T_meas)))
         self._consistent = {}
         return arena
 

@@ -101,10 +101,20 @@ def create_new_map_points(arena: ma.MapArena, kf_id, cfg: SlamConfig,
         free2 = arena.kf_kp_valid[nb_id] & (arena.kf_obs[nb_id] < 0) & \
             ((arena.kf_depth[nb_id] <= 0) |
              (arena.kf_depth[nb_id] > th_depth_m))
-        # Baseline gate (LocalMapping.cc:246-268): for RGB-D, baseline must
-        # exceed the stereo baseline.
+        # Baseline gate (LocalMapping.cc:246-268): for RGB-D/stereo the
+        # baseline must exceed the stereo baseline (metric); for MONOCULAR
+        # frames (no depth measurements) the reference gates on
+        # baseline / medianSceneDepth >= 0.01 instead — a mono map's gauge
+        # is arbitrary, so no metric threshold is meaningful.
         baseline = jnp.linalg.norm(o2 - o1)
-        ok = ok & (baseline > cam.bf / cam.fx)
+        has_depth = jnp.any(arena.kf_depth[kf_id] > 0)
+        obs2 = arena.kf_obs[nb_id]
+        has2 = (obs2 >= 0) & arena.pt_valid[jnp.maximum(obs2, 0)]
+        z2 = lie.se3_apply(T2, arena.pt_pos[jnp.maximum(obs2, 0)])[:, 2]
+        med2 = jnp.nanmedian(jnp.where(has2, z2, jnp.nan))
+        med2 = jnp.where(jnp.isfinite(med2), med2, 1.0)
+        ok = ok & jnp.where(has_depth, baseline > cam.bf / cam.fx,
+                            baseline / jnp.maximum(med2, 1e-6) >= 0.01)
 
         # Fundamental matrix F12 = K^-T [t12]x R12 K^-1 (ComputeF12,
         # LocalMapping.cc:573-588).

@@ -222,10 +222,21 @@ def ransac_pnp(pw: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
 @partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def ransac_sim3(P: jnp.ndarray, Q: jnp.ndarray, valid: jnp.ndarray,
                 key: jnp.ndarray, n_iters: int = 300, min_inliers: int = 20,
-                err_threshold: float = 0.05, with_scale: bool = False):
-    """RANSAC Sim3/SE3 on 3D-3D with metric consensus — Sim3Solver::iterate
-    semantics (RANSAC(0.99, 20, 300), LoopClosing.cc:279). Scale is fixed at
-    1 for RGB-D unless with_scale."""
+                err_threshold: float = 0.05, with_scale: bool = False,
+                uv_p: jnp.ndarray = None, uv_q: jnp.ndarray = None,
+                K: tuple = None, px_threshold=3.04):
+    """RANSAC Sim3/SE3 on 3D-3D — Sim3Solver::iterate semantics
+    (RANSAC(0.99, 20, 300), LoopClosing.cc:279). Scale is fixed at 1 for
+    RGB-D unless with_scale.
+
+    Consensus: metric (|S P - Q| < err_threshold) by default; when
+    uv_p/uv_q/K are given, BIDIRECTIONAL REPROJECTION in pixels instead
+    (Sim3Solver::CheckInliers, Sim3Solver.cc:180-209: project S P into the
+    current image against uv_q and S^-1 Q into the candidate image against
+    uv_p; px_threshold ~ sqrt(9.21), scalar or per-point [N] — the
+    reference scales it by the keypoint octave's sigma, Sim3Solver.cc:66
+    mvnMaxError). Reprojection consensus is gauge-free — required for
+    monocular maps, whose metric scale is arbitrary."""
     n = P.shape[0]
     probs = valid.astype(jnp.float32) / jnp.maximum(jnp.sum(valid), 1)
     idx = jax.random.categorical(
@@ -237,11 +248,27 @@ def ransac_sim3(P: jnp.ndarray, Q: jnp.ndarray, valid: jnp.ndarray,
 
     Rs, ts, ss = jax.vmap(solve_one)(idx)
 
-    def score_one(R, t, s):
-        Pq = lie.sim3_apply(R, t, s, P)
-        err = jnp.linalg.norm(Pq - Q, axis=-1)
-        inl = valid & (err < err_threshold)
-        return jnp.sum(inl), inl
+    if uv_p is not None:
+        fx, fy, cx, cy = K
+
+        def _reproj_err(Xc, uv):
+            z = jnp.maximum(Xc[..., 2], 1e-6)
+            u = fx * Xc[..., 0] / z + cx
+            v = fy * Xc[..., 1] / z + cy
+            return jnp.hypot(u - uv[..., 0], v - uv[..., 1]), Xc[..., 2] > 0
+
+        def score_one(R, t, s):
+            eq, zq = _reproj_err(lie.sim3_apply(R, t, s, P), uv_q)
+            Ri, ti, si = lie.sim3_inverse(R, t, s)
+            ep, zp = _reproj_err(lie.sim3_apply(Ri, ti, si, Q), uv_p)
+            inl = valid & zq & zp & (eq < px_threshold) & (ep < px_threshold)
+            return jnp.sum(inl), inl
+    else:
+        def score_one(R, t, s):
+            Pq = lie.sim3_apply(R, t, s, P)
+            err = jnp.linalg.norm(Pq - Q, axis=-1)
+            inl = valid & (err < err_threshold)
+            return jnp.sum(inl), inl
 
     scores, inls = jax.vmap(score_one)(Rs, ts, ss)
     best = jnp.argmax(scores)

@@ -161,16 +161,11 @@ def se3_orthonormalize(T: jnp.ndarray) -> jnp.ndarray:
 # Sim3 (for loop closing / essential graph; reference sim3.h + Sim3Solver)
 # ----------------------------------------------------------------------------
 
-def sim3_exp(xi: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Tangent [upsilon(3), omega(3), sigma(1)] -> (R, t, s).
-
-    Closed form W = C*I + A*hat(w) + B*hat(w)^2, t = W @ upsilon, with the
-    standard sigma/theta small-value fallbacks (behavioral twin of g2o's
-    Sim3 exponential used by OptimizeEssentialGraph).
-    """
-    v, w, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+def _sim3_W(w: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """The Sim3 left-Jacobian-like matrix W(w, sigma) with t = W @ upsilon:
+    W = C*I + A*hat(w) + B*hat(w)^2, with the standard sigma/theta
+    small-value fallbacks (g2o sim3.h semantics)."""
     s = jnp.exp(sigma)
-    R = so3_exp(w)
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
@@ -197,10 +192,30 @@ def sim3_exp(xi: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         / (sigma2_safe * sigma_safe))
     A = jnp.where(th_small, A_small_sig, A_big)
     B = jnp.where(th_small, B_small_sig, B_big)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
-    Ws = C[..., None, None] * eye + A[..., None, None] * W + B[..., None, None] * W2
-    t = _mv(Ws, v)
-    return R, t, s
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return C[..., None, None] * eye + A[..., None, None] * W \
+        + B[..., None, None] * W2
+
+
+def sim3_exp(xi: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Tangent [upsilon(3), omega(3), sigma(1)] -> (R, t, s).
+
+    Closed form t = W(w, sigma) @ upsilon (behavioral twin of g2o's Sim3
+    exponential used by OptimizeEssentialGraph)."""
+    v, w, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    return so3_exp(w), _mv(_sim3_W(w, sigma), v), jnp.exp(sigma)
+
+
+def sim3_log(R: jnp.ndarray, t: jnp.ndarray, s) -> jnp.ndarray:
+    """(R, t, s) -> tangent [upsilon(3), omega(3), sigma(1)]; the inverse of
+    sim3_exp (g2o Sim3::log): w = so3_log(R), sigma = log(s), upsilon solves
+    W(w, sigma) v = t (3x3 solve, batched)."""
+    w = so3_log(R)
+    sigma = jnp.log(jnp.asarray(s))
+    Ws = _sim3_W(w, sigma)
+    v = jnp.linalg.solve(Ws, t[..., None])[..., 0]
+    return jnp.concatenate(
+        [v, w, sigma[..., None]], axis=-1)
 
 
 def sim3_apply(R: jnp.ndarray, t: jnp.ndarray, s, p: jnp.ndarray) -> jnp.ndarray:

@@ -135,6 +135,22 @@ def gt_pose_loop(frame_idx, n_frames: int) -> jnp.ndarray:
     return T
 
 
+def gt_pose_loop_mono(frame_idx, n_frames: int) -> jnp.ndarray:
+    """Closed-loop revisit trajectory that is MONOCULAR-friendly: a wide
+    lateral oval sweep (up to ~1.8 m of translation) with only a mild
+    look-around yaw (+-0.35 rad), looking at the textured back wall the
+    whole time. Mono needs parallax to triangulate — the yaw-circuit
+    `gt_pose_loop` is rotation-dominant and structurally untrackable with
+    one camera (no baseline), exactly as for the reference's mono mode."""
+    th = 2.0 * jnp.pi * jnp.asarray(frame_idx, jnp.float32) / n_frames
+    c = jnp.stack([0.9 * jnp.sin(th), 0.06 * jnp.sin(2.0 * th),
+                   0.30 * (1.0 - jnp.cos(th))])
+    yaw = 0.35 * jnp.sin(th)
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    Ry = jnp.asarray([[cy, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy]])
+    return jnp.eye(4).at[:3, :3].set(Ry).at[:3, 3].set(c)
+
+
 def sphere_center(frame_idx, fps: float = 30.0) -> jnp.ndarray:
     """Dynamic object: sphere sweeping across the view."""
     t = jnp.asarray(frame_idx, jnp.float32) / fps

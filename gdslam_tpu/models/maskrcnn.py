@@ -635,7 +635,14 @@ def convert_keras_h5(h5_path: str, image_hw=(480, 640)):
         def set_conv(scope, key, layer, transpose_kernel=False):
             k = _h5_weight(root, layer, "kernel").astype(np.float32)
             if transpose_kernel:
-                k = np.transpose(k, (0, 1, 3, 2))
+                # Keras Conv2DTranspose kernels are (kh, kw, out, in) with
+                # gradient-of-conv (scatter) semantics; flax ConvTranspose
+                # lowers to lax.conv_transpose(transpose_kernel=False),
+                # a fractionally-strided FORWARD conv — equivalence needs
+                # the spatial FLIP on top of the (out, in) -> (in, out)
+                # axis swap (verified against a scatter-form reference in
+                # tests/test_maskrcnn.py).
+                k = np.transpose(k[::-1, ::-1], (0, 1, 3, 2))
             scope[key]["kernel"] = k
             scope[key]["bias"] = _h5_weight(root, layer, "bias").astype(
                 np.float32)

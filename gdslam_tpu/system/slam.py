@@ -115,6 +115,11 @@ class System:
             else:
                 self._vocab = vocabulary
             self.tracker.loop_closer = LoopCloser(settings, self._vocab, kmax)
+            # bFixScale (Sim3Solver.h:20 / System.cc loop-closer ctor):
+            # metric-depth sensors fix the Sim3 scale; monocular leaves it
+            # free so loop closure can correct scale drift.
+            self.tracker.loop_closer.fix_scale = sensor != Sensor.MONOCULAR
+        self.tracker.sensor_mono = sensor == Sensor.MONOCULAR
 
     def _to_depth(self, depth) -> jnp.ndarray:
         """Upload depth and convert to float meters ON DEVICE. uint16 input

@@ -806,7 +806,12 @@ class Tracking:
         # Scale: normalize median scene depth to ~2m (mono scale is free;
         # the reference normalizes by median depth, Tracking.cc mono init).
         z = res.points[:, 2]
-        med = jnp.median(jnp.where(res.is_good, z, jnp.nan))
+        # nanmedian, NOT median: median over a where(...nan) array is NaN
+        # whenever ANY entry is masked, which silently skipped this
+        # normalization entirely and left the mono map at the essential-
+        # matrix gauge (|t|=1 -> ~70x metric scale; the Sim3 essential
+        # graph's translation residuals then swamp its scale residuals).
+        med = jnp.nanmedian(jnp.where(res.is_good, z, jnp.nan))
         med = jnp.where(jnp.isfinite(med), med, 1.0)
         scale = 2.0 / jnp.maximum(med, 1e-6)
         pts = res.points * scale

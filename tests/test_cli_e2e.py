@@ -13,6 +13,8 @@ from gdslam_tpu.config import CameraConfig
 from gdslam_tpu.io import synthetic
 from gdslam_tpu.utils import metrics
 
+pytestmark = pytest.mark.e2e
+
 SCAM = CameraConfig(fx=160.0, fy=160.0, cx=80.0, cy=60.0, width=160,
                     height=120, bf=160.0 * 0.08)
 N_FRAMES = 16

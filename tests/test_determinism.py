@@ -14,6 +14,9 @@ import numpy as np
 from gdslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
 from gdslam_tpu.io import synthetic
 from gdslam_tpu.system.tracking import Tracking
+import pytest
+
+pytestmark = pytest.mark.e2e
 
 SCAM = CameraConfig(fx=160.0, fy=160.0, cx=80.0, cy=60.0, width=160,
                     height=120, bf=160.0 * 0.08)

@@ -13,6 +13,8 @@ from gdslam_tpu.backend import vocabulary as voc
 from gdslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
 from gdslam_tpu.io import synthetic
 
+pytestmark = pytest.mark.e2e
+
 SCAM = CameraConfig(fx=160.0, fy=160.0, cx=80.0, cy=60.0, width=160,
                     height=120, bf=160.0 * 0.08, fps=30.0)
 

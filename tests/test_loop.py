@@ -8,6 +8,7 @@ from gdslam_tpu.backend import map_arena as ma
 from gdslam_tpu.backend import pose_graph
 from gdslam_tpu.backend import vocabulary as voc
 from gdslam_tpu.core import lie
+from gdslam_tpu.utils import metrics
 
 
 @pytest.fixture(scope="module")
@@ -174,3 +175,98 @@ class TestPoseGraph:
             jnp.zeros(0, bool), max_covis_edges=4)
         out = pose_graph.optimize(poses, jnp.ones(K, bool), edges, iters=3)
         np.testing.assert_allclose(np.asarray(out), np.asarray(poses), atol=1e-4)
+
+
+class TestSim3Graph:
+    """7-dof essential graph (Optimizer.cc:997-1260 semantics): monocular
+    scale drift must distribute around the loop through the vertex scales."""
+
+    def _circle(self, K):
+        gt = []
+        for k in range(K):
+            a = 2 * np.pi * k / K
+            Rwc = np.asarray([[np.cos(a), 0, np.sin(a)],
+                              [0, 1, 0],
+                              [-np.sin(a), 0, np.cos(a)]])
+            cw = np.asarray([2 * np.cos(a), 0.0, 2 * np.sin(a)])
+            T = np.eye(4)
+            T[:3, :3] = Rwc.T
+            T[:3, 3] = -Rwc.T @ cw
+            gt.append(T)
+        return np.asarray(gt, np.float32)
+
+    def test_scale_drift_distributes(self):
+        K = 20
+        gt = self._circle(K)
+        # drifted estimate: integrate relative motions with a growing scale
+        # error on translation; cumulative scale at the end = 1.2
+        d = 1.2 ** (1.0 / (K - 1))
+        est = [gt[0]]
+        for k in range(1, K):
+            rel = gt[k] @ np.linalg.inv(gt[k - 1])
+            rel_d = rel.copy()
+            rel_d[:3, 3] *= d ** k
+            est.append(rel_d @ est[-1])
+        est = np.asarray(est, np.float32)
+        kf_pose = jnp.asarray(est)
+        kf_valid = jnp.ones(K, bool)
+        parent = jnp.asarray([-1] + list(range(K - 1)), jnp.int32)
+        covis = jnp.zeros((K, K), jnp.int32)
+        # loop edge: true relative SE3 + the solver-measured scale 1.2
+        T_loop = jnp.asarray(gt[K - 1] @ np.linalg.inv(gt[0]))
+        edges = pose_graph.build_edges(
+            kf_pose, kf_valid, parent, covis,
+            jnp.asarray([K - 1], jnp.int32), jnp.asarray([0], jnp.int32),
+            T_loop[None], jnp.asarray([True]), max_covis_edges=8,
+            loop_s=jnp.asarray([1.2]))
+        R, t, s = pose_graph.optimize_sim3_graph(
+            kf_pose[:, :3, :3], kf_pose[:, :3, 3], jnp.ones(K), kf_valid,
+            edges, fix_scale=False)
+        s = np.asarray(s)
+        # scales ramp smoothly to ~1.2 at the loop end
+        assert abs(s[-1] / s[0] - 1.2) < 0.02
+        assert np.all(np.diff(s) > -0.01)
+        # recovered SE3 poses [R | t/s] beat the drifted estimate
+        rec = np.zeros((K, 4, 4), np.float32)
+        rec[:, :3, :3] = np.asarray(R)
+        rec[:, :3, 3] = np.asarray(t) / s[:, None]
+        rec[:, 3, 3] = 1
+
+        def ate(poses):
+            e = np.stack([np.linalg.inv(p)[:3, 3] for p in poses])
+            g = np.stack([np.linalg.inv(p)[:3, 3] for p in gt])
+            return metrics.ate_rmse(e, g)
+
+        assert ate(rec) < 0.25 * ate(est)
+
+    def test_fix_scale_reduces_to_se3(self):
+        K = 8
+        gt = self._circle(K)
+        kf_pose = jnp.asarray(gt)
+        kf_valid = jnp.ones(K, bool)
+        parent = jnp.asarray([-1] + list(range(K - 1)), jnp.int32)
+        edges = pose_graph.build_edges(
+            kf_pose, kf_valid, parent, jnp.zeros((K, K), jnp.int32),
+            jnp.asarray([K - 1], jnp.int32), jnp.asarray([0], jnp.int32),
+            jnp.asarray(gt[K - 1] @ np.linalg.inv(gt[0]))[None],
+            jnp.asarray([True]), max_covis_edges=4,
+            loop_s=jnp.asarray([1.1]))
+        R, t, s = pose_graph.optimize_sim3_graph(
+            kf_pose[:, :3, :3], kf_pose[:, :3, 3], jnp.ones(K), kf_valid,
+            edges, fix_scale=True)
+        # bFixScale: every sigma frozen at 0 regardless of the loop scale
+        np.testing.assert_allclose(np.asarray(s), 1.0, atol=1e-6)
+
+    def test_sim3_log_exp_roundtrip(self, rng):
+        lie_mod = lie
+        xis = jnp.asarray(rng.normal(size=(16, 7)) * 0.5)
+        R, t, s = lie_mod.sim3_exp(xis)
+        back = lie_mod.sim3_log(R, t, s)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(xis),
+                                   atol=1e-5)
+        # degenerate: zero tangent, pure scale, tiny angle
+        for xi in [jnp.zeros(7), jnp.asarray([.1, .2, .3, 0, 0, 0, 0.4]),
+                   jnp.asarray([.1, .2, .3, 1e-9, 0, 0, 0.5])]:
+            R, t, s = lie_mod.sim3_exp(xi)
+            np.testing.assert_allclose(np.asarray(lie_mod.sim3_log(R, t, s)),
+                                       np.asarray(xi), atol=1e-6)

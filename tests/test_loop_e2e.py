@@ -30,6 +30,8 @@ from gdslam_tpu.io import synthetic
 from gdslam_tpu.system.tracking import Tracking
 from gdslam_tpu.utils import metrics
 
+pytestmark = pytest.mark.e2e
+
 # 320x240: the loop circuit is rotation-dominant; at 160x120 pixel
 # quantization drifts tracking to LOST before the revisit.
 SCAM = CameraConfig(fx=320.0, fy=320.0, cx=160.0, cy=120.0, width=320,
@@ -130,6 +132,109 @@ class TestLoopClosureEndToEnd:
         # keyframe ATE over the drifted pre-correction state
         ate_post = _kf_ate(tr.arena, tr.kf_timestamps)
         assert ate_post < ates_pre[0] * 0.95
+
+    def test_mono_scale_drift_corrected(self):
+        """Monocular Sim3 loop closure (VERDICT r2 item 4): a mono run on a
+        translation-dominant circuit; the final map's recent half is
+        replaced by a uniform 1.2x similarity of itself (the self-consistent
+        state a BA-converged scale-drifted mono map is in), cross-scale
+        observations/covisibility/parents cut (real drift never has them);
+        then ComputeSim3 must MEASURE the scale and CorrectLoop must
+        distribute it through the 7-dof essential graph. Scale measured and
+        corrected to <5%.
+
+        Detection-by-BoW-streak is exercised organically by the RGB-D test
+        above; here compute_transform/correct are driven directly on a known
+        revisit pair so the scale assertion is deterministic."""
+        from gdslam_tpu.backend.loop_closing import LoopCloser
+
+        tr = Tracking(SCFG, kmax=64, pmax=32768)
+        lc = LoopCloser(SCFG, voc.default_vocabulary(), 64)
+        lc.fix_scale = False   # monocular semantics (Sim3Solver.h:20)
+        tr.loop_closer = lc
+        n_run = 170
+        for i in range(n_run):
+            fr = synthetic.render(synthetic.gt_pose_loop_mono(i, N_FRAMES),
+                                  SCAM, False, 30.0, i)
+            tr.process_mono(fr.gray, i / 30.0)
+        tr.flush()
+        assert tr.state.name == "OK"
+
+        def seg_ratios(arena):
+            T0 = np.asarray(synthetic.gt_pose_loop_mono(0, N_FRAMES))
+            cs, gs = [], []
+            for k, ts in enumerate(tr.kf_timestamps):
+                i = int(round(ts * 30.0))
+                cs.append(np.linalg.inv(np.asarray(arena.kf_pose[k]))[:3, 3])
+                gs.append((np.linalg.inv(T0) @ np.asarray(
+                    synthetic.gt_pose_loop_mono(i, N_FRAMES)))[:3, 3])
+            cs, gs = np.asarray(cs), np.asarray(gs)
+            de = np.linalg.norm(np.diff(cs, axis=0), axis=1)
+            dg = np.linalg.norm(np.diff(gs, axis=0), axis=1)
+            keep = dg > 1e-3
+            return de[keep] / dg[keep], keep
+
+        arena = tr.arena
+        n = tr.n_kf_host
+        k0 = n // 2
+        s_inj = 1.2
+        # uniform similarity of the recent segment about kf k0's center
+        c0 = np.linalg.inv(np.asarray(arena.kf_pose[k0]))[:3, 3]
+        poses = np.asarray(arena.kf_pose).copy()
+        for k in range(k0, n):
+            Twc = np.linalg.inv(poses[k])
+            Twc[:3, 3] = c0 + s_inj * (Twc[:3, 3] - c0)
+            poses[k] = np.linalg.inv(Twc)
+        sel = (np.asarray(arena.pt_ref_kf) >= k0) & np.asarray(arena.pt_valid)
+        pts = np.asarray(arena.pt_pos).copy()
+        pts[sel] = c0 + s_inj * (pts[sel] - c0)
+        # cut cross-scale obs / covis / parents
+        obs = np.asarray(arena.kf_obs).copy()
+        n_obs = np.asarray(arena.pt_n_obs).copy()
+        pt_ref = np.asarray(arena.pt_ref_kf)
+        for k in range(n):
+            other = (pt_ref < k0) if k >= k0 else (pt_ref >= k0)
+            cut = (obs[k] >= 0) & other[np.maximum(obs[k], 0)]
+            n_obs[obs[k][cut]] -= 1
+            obs[k][cut] = -1
+        covis = np.asarray(arena.covis).copy()
+        covis[:k0, k0:n] = 0
+        covis[k0:n, :k0] = 0
+        parent = np.asarray(arena.kf_parent).copy()
+        for k in range(k0, n):
+            if parent[k] < k0:
+                parent[k] = k - 1
+        tr.arena = arena._replace(
+            kf_parent=jnp.asarray(parent), kf_pose=jnp.asarray(poses),
+            pt_pos=jnp.asarray(pts), kf_obs=jnp.asarray(obs),
+            pt_n_obs=jnp.asarray(np.maximum(n_obs, 0)),
+            covis=jnp.asarray(covis))
+
+        r_pre, keep = seg_ratios(tr.arena)
+        seg_is_new = (np.arange(1, n)[keep] > k0)   # segment k-1 -> k
+        zone_pre = (np.mean(r_pre[seg_is_new])
+                    / np.mean(r_pre[~seg_is_new]))
+        assert zone_pre > 1.15   # the injected drift is present
+
+        # revisit pair: last keyframe vs the circuit-closest early keyframe
+        frames = [int(round(ts * 30)) % N_FRAMES
+                  for ts in tr.kf_timestamps[:n]]
+        cur = n - 1
+        cand = min(range(k0),
+                   key=lambda k: min(abs(frames[k] - frames[cur]),
+                                     N_FRAMES - abs(frames[k] - frames[cur])))
+        ok, T, n_m = lc.compute_transform(tr.arena, cur, cand)
+        assert ok and n_m >= 40
+        # the Sim3 solver measured the injected relative scale
+        assert abs(lc.last_sim3[2] - s_inj) / s_inj < 0.05
+
+        arena2 = lc.correct(tr.arena, cur, cand, T)
+        r_post, keep = seg_ratios(arena2)
+        seg_is_new = (np.arange(1, n)[keep] > k0)
+        zone_post = (np.mean(r_post[seg_is_new])
+                     / np.mean(r_post[~seg_is_new]))
+        # scale drift between the zones corrected to <5%
+        assert abs(zone_post - 1.0) < 0.05, (zone_pre, zone_post)
 
     def test_aliased_wrong_candidate_rejected(self, loop_seq):
         """NEGATIVE: the verification tail must reject perceptually-similar

@@ -66,9 +66,16 @@ class TestCreateNewMapPoints:
         obs1 = np.asarray(out.kf_obs[1])
         assert (obs1 >= 0).sum() >= n_new
 
-        # near-zero baseline pair -> nothing created
+        # near-zero baseline pair -> nothing created. Mono semantics
+        # (LocalMapping.cc:246-268): the gate is baseline/medianSceneDepth
+        # >= 0.01 — frame 1's ~0.01-unit baseline at ~2.5-unit scene depth
+        # (ratio ~0.005) must be refused, exactly as the reference refuses
+        # it. (Frame 8 above passes at ratio ~0.2.)
         arena2 = ma.new_arena(kmax=8, pmax=8192, n_features=384)
-        f1, Tc1 = kf_frame(1)
+        f1, Tc1 = kf_frame(0)
+        # identical-view keyframe nudged by half a centimeter-equivalent:
+        # below the mono parallax gate at any plausible scene depth
+        Tc1 = Tc1.at[0, 3].add(0.005)
         arena2, _ = insert_keyframe(arena2, f0, Tc0, none, jnp.asarray(0.0), SCFG)
         arena2, _ = insert_keyframe(arena2, f1, Tc1, none, jnp.asarray(0.03), SCFG)
         before = int(jnp.sum(arena2.pt_valid))

@@ -225,6 +225,31 @@ class TestWeightConversion:
         got = x @ np.asarray(d0["kernel"]) + np.asarray(d0["bias"])
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
+    def test_deconv_axis_swap_function_equivalence(self, h5_and_vars):
+        """The converted flax ConvTranspose must reproduce Keras
+        Conv2DTranspose semantics for the raw (kh, kw, out, in) h5 kernel —
+        verified against an independent numpy scatter formulation:
+        out[2y+ky, 2x+kx, o] += in[y, x, i] * K[ky, kw, o, i]."""
+        import flax.linen as nn
+        raw, conv, _, _ = h5_and_vars
+        K = raw[("mrcnn_mask_deconv", "kernel")]       # [2, 2, out, in]
+        b = raw[("mrcnn_mask_deconv", "bias")]
+        cin = K.shape[3]
+        x = np.random.default_rng(5).normal(0, 1, (1, 4, 4, cin)).astype(
+            np.float32)
+        ref = np.zeros((1, 8, 8, K.shape[2]), np.float32)
+        for ky in range(2):
+            for kx in range(2):
+                ref[:, ky::2, kx::2] += np.einsum(
+                    "byxi,oi->byxo", x, K[ky, kx])
+        ref += b
+        layer = nn.ConvTranspose(K.shape[2], (2, 2), strides=(2, 2))
+        got = layer.apply(
+            {"params": conv["params"]["mask_head"]["ConvTranspose_0"]},
+            jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4,
+                                   atol=1e-4)
+
     def test_converted_model_runs(self, h5_and_vars):
         _, conv, _, hw = h5_and_vars
         model = mrc.MaskRCNN(image_hw=hw)
@@ -233,6 +258,7 @@ class TestWeightConversion:
 
 
 class TestTrainableSegmenter:
+    @pytest.mark.e2e
     def test_toy_training_segments_disks(self):
         """Few-epoch fit on synthetic disk instances: the trained pipeline
         (RPN proposals -> heads -> paste_masks) must localize the disk —

@@ -16,6 +16,8 @@ from gdslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
 from gdslam_tpu.io import synthetic
 from gdslam_tpu.parallel import batch_eval
 
+pytestmark = pytest.mark.e2e
+
 CAM = CameraConfig(fx=160.0, fy=160.0, cx=80.0, cy=60.0, width=160,
                    height=120, fps=30.0, bf=6.4, th_depth=40.0)
 CFG = SlamConfig(camera=CAM, orb=OrbConfig(n_features=256, n_levels=4))

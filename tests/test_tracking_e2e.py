@@ -8,6 +8,8 @@ from gdslam_tpu.io import synthetic
 from gdslam_tpu.system.tracking import Tracking
 from gdslam_tpu.utils import metrics
 
+pytestmark = pytest.mark.e2e
+
 SCAM = CameraConfig(fx=160.0, fy=160.0, cx=80.0, cy=60.0, width=160, height=120,
                     bf=160.0 * 0.08)
 SCFG = SlamConfig(camera=SCAM, orb=OrbConfig(n_features=384, n_levels=4))
