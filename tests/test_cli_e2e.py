@@ -112,3 +112,62 @@ class TestRgbdTumCli:
         ate_masked, n = _traj_ate("CameraTrajectory.txt", gts)
         assert n >= N_FRAMES - 3
         assert ate_masked < 0.08
+
+
+class TestEvaluateHarness:
+    def test_evaluate_plain_and_gd(self, tum_seq, tmp_path, monkeypatch,
+                                   capsys):
+        """The evaluation harness (BASELINE configs 1-4 as one entry point):
+        runs on a TUM-layout dir + groundtruth.txt unchanged, prints ATE/RPE
+        and a machine-readable JSON line."""
+        import json
+
+        from gdslam_tpu.cli import evaluate
+        from gdslam_tpu.system import trajectory as traj
+        seq_dir, gts = tum_seq
+        gt_path = os.path.join(seq_dir, "groundtruth.txt")
+        traj.save_tum(gt_path, [(1305031790.0 + i / 30.0, gts[i])
+                                for i in range(N_FRAMES)])
+        monkeypatch.chdir(tmp_path)
+        for mode, gate in (("plain", 0.30), ("gd", 0.15)):
+            rc = evaluate.main([seq_dir, os.path.join(seq_dir, "assoc.txt"),
+                                gt_path, "--mode", mode,
+                                "--settings",
+                                os.path.join(seq_dir, "settings.yaml"),
+                                "--masks", os.path.join(seq_dir, "masks"),
+                                "--rpe-delta", "5"])
+            assert rc == 0
+            out = capsys.readouterr().out.strip().splitlines()
+            rec = json.loads(out[-1])
+            assert rec["mode"] == mode
+            assert rec["associated"] >= N_FRAMES - 4
+            assert rec["ate_rmse_m"] < gate, (mode, rec)
+            assert rec["rpe_rmse_m"] < 0.5
+
+    def test_evaluate_mask_iou(self, tum_seq, tmp_path, monkeypatch, capsys):
+        """--ref-masks reports mean dynamic-mask IoU; scoring the semantic
+        prior against the ground-truth dynamic masks themselves must give a
+        near-perfect IoU (sanity anchor for the metric)."""
+        import json
+
+        from gdslam_tpu.cli import evaluate
+        from gdslam_tpu.system import trajectory as traj
+        seq_dir, gts = tum_seq
+        gt_path = os.path.join(seq_dir, "groundtruth.txt")
+        if not os.path.exists(gt_path):
+            traj.save_tum(gt_path, [(1305031790.0 + i / 30.0, gts[i])
+                                    for i in range(N_FRAMES)])
+        monkeypatch.chdir(tmp_path)
+        rc = evaluate.main([seq_dir, os.path.join(seq_dir, "assoc.txt"),
+                            gt_path, "--mode", "gd",
+                            "--settings",
+                            os.path.join(seq_dir, "settings.yaml"),
+                            "--masks", os.path.join(seq_dir, "masks"),
+                            "--ref-masks", os.path.join(seq_dir, "masks"),
+                            "--rpe-delta", "5"])
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "mask_iou" in rec
+        # refined = semantic prior grown/cut by scene flow; against the
+        # prior itself IoU stays high but not exactly 1
+        assert rec["mask_iou"] > 0.5, rec
