@@ -95,6 +95,65 @@ def _ref_matches_after_insert(arena: ma.MapArena) -> jnp.ndarray:
     return trk.ref_tracked_points(arena, kf, min_obs).astype(jnp.int32)
 
 
+RELOC_CANDIDATES = 4  # recent keyframes tried per on-device relocalization
+
+
+def device_relocalize(arena: ma.MapArena, frame, cfg: SlamConfig,
+                      frame_idx: jnp.ndarray):
+    """On-device relocalization (Relocalization, Tracking.cc:1670-1832) for
+    the batched tracker: a lost mesh slot recovers WITHOUT host arbitration.
+
+    Candidates are the RELOC_CANDIDATES most recent keyframes (the batched
+    system has no per-slot BoW database; recent keyframes cover the common
+    short-term-loss case exactly as the host fallback in
+    Tracking._relocalize does). All candidates are descriptor-matched in one
+    vmapped battery, the best by match count feeds a 2D-3D PnP RANSAC
+    (PnPsolver semantics, Tracking.cc:1715), and the coarse pose is grown +
+    refined against the local map (SearchByProjection growth + >=50-inlier
+    acceptance, Tracking.cc:1784-1818).
+
+    Returns (ok, T, assoc, n_inl, arena') — arena' carries the
+    visible/found bookkeeping and must be adopted ONLY on acceptance.
+    """
+    from gdslam_tpu.backend import solvers
+    cam = cfg.camera
+    K = (cam.fx, cam.fy, cam.cx, cam.cy)
+    ids = arena.n_kf - 1 - jnp.arange(RELOC_CANDIDATES)
+    ok_id = (ids >= 0) & arena.kf_valid[jnp.maximum(ids, 0)]
+    rows = jnp.maximum(ids, 0)
+
+    def match_one(kf_row, kf_ok):
+        m_idx, n_m = trk._dense_ratio_matches(
+            frame.desc, frame.valid,
+            arena.kf_desc[kf_row], arena.kf_kp_valid[kf_row] & kf_ok)
+        return m_idx, jnp.where(kf_ok, n_m, 0)
+
+    m_idx_all, n_m_all = jax.vmap(match_one)(rows, ok_id)
+    best = jnp.argmax(n_m_all)
+    kf = rows[best]
+    m_idx = m_idx_all[best]
+    pt = arena.kf_obs[kf][jnp.maximum(m_idx, 0)]
+    has_pt = (m_idx >= 0) & (pt >= 0) & arena.pt_valid[jnp.maximum(pt, 0)]
+    pw = arena.pt_pos[jnp.maximum(pt, 0)]
+    res = solvers.ransac_pnp(
+        pw, frame.uv, has_pt, K, n_iters=128, min_inliers=10,
+        px_threshold=5.991 ** 0.5,
+        key=jax.random.fold_in(jax.random.PRNGKey(3), frame_idx))
+    matched = has_pt & res.inliers
+    from gdslam_tpu.backend import optimizer as opt_mod
+    obs = opt_mod.PoseObs(
+        pw=jnp.where(matched[:, None], pw, 0.0),
+        uv=frame.uv, ur=frame.ur,
+        inv_sigma2=1.0 / float(cfg.orb.scale_factor) ** (
+            2.0 * frame.level.astype(jnp.float32)),
+        valid=matched)
+    T, inl, n_inl = opt_mod.pose_optimization(res.T, obs, K, cam.bf)
+    assoc0 = jnp.where(inl & matched, pt, -1)
+    arena2, T2, assoc2, n2 = trk.track_local_map(arena, frame, T, cfg, assoc0)
+    ok = res.ok & (n_inl >= 10) & (n2 >= 50) & (jnp.sum(has_pt) >= 15)
+    return ok, T2, assoc2, n2, arena2
+
+
 def device_track_step(state: SeqState, gray: jnp.ndarray, depth: jnp.ndarray,
                       mask: jnp.ndarray, cfg: SlamConfig):
     """One frame of the FULL tracker as a pure device function.
@@ -102,9 +161,10 @@ def device_track_step(state: SeqState, gray: jnp.ndarray, depth: jnp.ndarray,
     Mirrors `Tracking.process` (system/tracking.py) including
     StereoInitialization, motion-model + local-map tracking
     (track_frame_core), the RGB-D NeedNewKeyFrame rules, fuse + keyframe
-    insertion + point culling. Relocalization and local BA stay host-side
-    (they are rare, host-arbitrated events in the single-sequence system);
-    a lost slot simply re-tries against its last good frame.
+    insertion + point culling, local BA at keyframe rate
+    (LocalMapping.cc:81), and on-device relocalization for lost slots
+    (state==LOST -> Relocalization ONLY, Tracking.cc:439-447,1670-1832) —
+    the full per-slot system with no host arbitration.
 
     Returns (new_state, stats [4] int32 = n1, n_inl, n_kf, n_pt).
     """
@@ -135,6 +195,25 @@ def device_track_step(state: SeqState, gray: jnp.ndarray, depth: jnp.ndarray,
 
         st = jax.lax.cond(ok, init, lambda s: s, st)
         return st, jnp.zeros(2, jnp.int32)
+
+    def do_reloc(st: SeqState):
+        """LOST slots relocalize instead of tracking (Tracking.cc:439-447:
+        `if state==LOST: bOK = Relocalization()`)."""
+        ok, T2, assoc2, n2, arena2 = device_relocalize(
+            st.arena, frame, cfg, st.frame_idx)
+
+        def adopt(st: SeqState):
+            # Velocity stays cleared (the host path sets velocity=None after
+            # relocalization) — one frame of map search re-establishes it.
+            return st._replace(arena=arena2, last_frame=frame, last_T_cw=T2,
+                               last_assoc=assoc2,
+                               has_velocity=jnp.asarray(False),
+                               lost=jnp.asarray(False),
+                               frames_since_kf=st.frames_since_kf + 1)
+
+        st = jax.lax.cond(ok, adopt, lambda s: s, st)
+        return st, jnp.stack([jnp.asarray(0, jnp.int32),
+                              jnp.where(ok, n2, 0).astype(jnp.int32)])
 
     def do_track(st: SeqState):
         last = trk.FrameState(frame=st.last_frame, T_cw=st.last_T_cw,
@@ -170,9 +249,22 @@ def device_track_step(state: SeqState, gray: jnp.ndarray, depth: jnp.ndarray,
                 a2, assoc = trk._insert_keyframe(
                     st.arena, frame, new_last.T_cw, assoc, ts, cfg)
                 a2 = trk.cull_points(a2)
+                kf_id = a2.n_kf - 1
+
+                def with_ba(a):
+                    # Local BA at keyframe rate (LocalMapping.cc:81), fully
+                    # on-device — the same 5+5 GN schedule keyframe_program
+                    # uses in the single-sequence system.
+                    from gdslam_tpu.backend import ba as ba_mod
+                    prob = ba_mod.build_problem(a, kf_id, cfg)
+                    a, _ = ba_mod.run_local_ba(a, prob, cfg, 5, 5)
+                    return a
+
+                a2 = jax.lax.cond(a2.n_kf >= 3, with_ba, lambda a: a, a2)
                 return st._replace(
                     arena=a2, last_assoc=assoc,
-                    ref_kf=(a2.n_kf - 1).astype(jnp.int32),
+                    last_T_cw=a2.kf_pose[kf_id],
+                    ref_kf=kf_id.astype(jnp.int32),
                     ref_kf_matches=_ref_matches_after_insert(a2),
                     frames_since_kf=jnp.asarray(0, jnp.int32))
 
@@ -185,7 +277,11 @@ def device_track_step(state: SeqState, gray: jnp.ndarray, depth: jnp.ndarray,
         st = jax.lax.cond(ok, adopt, mark_lost, st)
         return st, jnp.stack([n1, n_inl]).astype(jnp.int32)
 
-    state, tstats = jax.lax.cond(state.initialized, do_track, do_init, state)
+    def do_track_or_reloc(st: SeqState):
+        return jax.lax.cond(st.lost, do_reloc, do_track, st)
+
+    state, tstats = jax.lax.cond(state.initialized, do_track_or_reloc,
+                                 do_init, state)
     state = state._replace(frame_idx=state.frame_idx + 1)
     stats = jnp.concatenate([
         tstats, jnp.stack([state.arena.n_kf,

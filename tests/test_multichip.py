@@ -91,6 +91,57 @@ def test_batched_matches_independent_runs(sequences, batched_run):
         assert int(states_b.arena.n_pt[b]) == int(st.arena.n_pt)
 
 
+def test_lost_slot_relocalizes_others_unaffected():
+    """Force a mid-sequence loss in ONE slot (blackout frames) and assert it
+    re-localizes via the on-device relocalization path (Tracking.cc:439-447:
+    LOST -> Relocalization only) while every other slot's state is
+    bit-identical to an unperturbed run — per-slot independence of the
+    data-parallel layer."""
+    n_frames = 8
+    blackout = (3, 4)  # slot 0 sees zeros at these frames -> tracking lost
+    grays, depths = [], []
+    for b in range(N_SEQ):
+        gs, ds = [], []
+        for t in range(n_frames):
+            f = synthetic.render_frame(2 * b + t, CAM, with_dynamic=False)
+            gs.append(f.gray)
+            ds.append(f.depth)
+        grays.append(jnp.stack(gs))
+        depths.append(jnp.stack(ds))
+    grays, depths = jnp.stack(grays), jnp.stack(depths)
+    grays_p = grays.at[0, blackout[0]:blackout[1] + 1].set(0.0)
+    depths_p = depths.at[0, blackout[0]:blackout[1] + 1].set(0.0)
+
+    mesh = batch_eval.make_mesh(N_SEQ)
+    step = batch_eval.batched_track_step(CFG, H, W, mesh, kmax=KMAX,
+                                         pmax=PMAX)
+
+    def run(gs, ds):
+        states = batch_eval.init_states(N_SEQ, CFG, kmax=KMAX, pmax=PMAX)
+        lost_trace = []
+        for t in range(n_frames):
+            states, _ = step(states, gs[:, t], ds[:, t])
+            lost_trace.append(np.asarray(states.lost))
+        return states, np.stack(lost_trace)  # [T, B]
+
+    clean, _ = run(grays, depths)
+    pert, lost = run(grays_p, depths_p)
+
+    # slot 0 was lost during the blackout and recovered afterwards
+    assert lost[blackout[1], 0], "blackout must cause tracking loss"
+    assert not lost[-1, 0], "slot 0 must relocalize after the blackout"
+    # relocalized pose is consistent with the unperturbed trajectory
+    T_reloc = np.asarray(pert.last_T_cw[0])
+    T_clean = np.asarray(clean.last_T_cw[0])
+    assert np.linalg.norm(T_reloc[:3, 3] - T_clean[:3, 3]) < 0.1
+    # every OTHER slot is bit-identical to the unperturbed run
+    for b in range(1, N_SEQ):
+        np.testing.assert_array_equal(np.asarray(pert.last_T_cw[b]),
+                                      np.asarray(clean.last_T_cw[b]))
+        assert int(pert.arena.n_kf[b]) == int(clean.arena.n_kf[b])
+        assert int(pert.arena.n_pt[b]) == int(clean.arena.n_pt[b])
+
+
 def test_single_sequence_program_is_collective_free():
     """The per-sequence step must compile without collectives (SURVEY §5:
     the distributed layer adds psum only in the batched wrapper)."""
