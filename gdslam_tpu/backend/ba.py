@@ -68,7 +68,11 @@ def build_problem(arena: ma.MapArena, kf_id, cfg: SlamConfig) -> LocalBAProblem:
                                               arena.kf_obs, 0), axis=0)
                    & (arena.kf_obs >= 0), axis=1)
     sees = jnp.where(arena.kf_valid & ~is_local_kf, sees, 0)
+    # tiny arenas (kmax < F_FIX): pad so the problem shape stays [L+F]
+    if arena.kmax < F_FIX:
+        sees = jnp.pad(sees, (0, F_FIX - arena.kmax))
     fix_w, fix_ids = jax.lax.top_k(sees, F_FIX)
+    fix_ids = jnp.minimum(fix_ids, arena.kmax - 1)
     fix_ok = fix_w > 0
 
     kf_ids = jnp.concatenate([loc_ids, fix_ids])

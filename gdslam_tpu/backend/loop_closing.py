@@ -225,10 +225,10 @@ class LoopCloser:
         then tries each in turn)."""
         if kf_id - self.last_loop_kf < MIN_KF_GAP:
             return []
-        ids, scores, min_score = kdb.loop_candidates(self.db, arena,
-                                                     jnp.asarray(kf_id))
-        ids = np.asarray(ids)
-        scores = np.asarray(scores)
+        # ONE batched device_get for ids/scores/min_score (three separate
+        # np.asarray syncs each cost a ~28 ms tunnel round trip).
+        ids, scores, min_score = jax.device_get(
+            kdb.loop_candidates(self.db, arena, jnp.asarray(kf_id)))
         cand = []
         for i, s in zip(ids, scores):
             if s > max(float(min_score), 1e-6) and i >= 0 and \
@@ -236,15 +236,21 @@ class LoopCloser:
                 cand.append(int(i))
         # Consistency groups: a candidate (or its covisible neighborhood)
         # must recur for CONSISTENCY_TH consecutive keyframes (cc:150-230).
-        covis = np.asarray(arena.covis)
+        # Only the [n_cand, n_prev] covisibility entries the streak check
+        # reads come to host — pulling the full [K,K] matrix here cost
+        # ~1 MB / ~50 ms per keyframe over the tunnel (measured round 2).
         new_streaks: dict[int, int] = {}
         accepted: list[int] = []
-        for c in cand:
+        prev_ids = list(self._consistent.keys())
+        if cand and prev_ids:
+            covis_sub = jax.device_get(
+                arena.covis[jnp.asarray(cand)][:, jnp.asarray(prev_ids)])
+        for ci, c in enumerate(cand):
             streak = 1
-            for prev, s in self._consistent.items():
+            for pi, (prev, s) in enumerate(self._consistent.items()):
                 # group consistency via the covisibility GRAPH (weight>=15
                 # edges, matching GetConnectedKeyFrames semantics)
-                if prev == c or covis[prev, c] >= 15:
+                if prev == c or covis_sub[ci, pi] >= 15:
                     streak = max(streak, s + 1)
             new_streaks[c] = streak
             if streak >= CONSISTENCY_TH:

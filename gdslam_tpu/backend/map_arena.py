@@ -128,5 +128,64 @@ def local_keyframes(arena: MapArena, kf_id, cap: int = 80):
     capped at 80 (Tracking.cc:1614)."""
     w = arena.covis[kf_id].at[kf_id].set(jnp.iinfo(jnp.int32).max)
     w = jnp.where(arena.kf_valid, w, -1)
+    # tiny arenas (kmax < cap): pad so callers always see [cap] outputs
+    if arena.kmax < cap:
+        w = jnp.pad(w, (0, cap - arena.kmax), constant_values=-1)
     top_w, top_i = jax.lax.top_k(w, cap)
-    return top_i, top_w > 0
+    return jnp.minimum(top_i, arena.kmax - 1), top_w > 0
+
+
+@jax.jit
+def compact_keyframes(arena: MapArena, perm: jnp.ndarray,
+                      new_of_old: jnp.ndarray, n_keep) -> MapArena:
+    """Recycle culled keyframe slots by compacting the keyframe arrays.
+
+    The reference frees culled KeyFrame objects outright
+    (KeyFrame::SetBadFlag, KeyFrame.cc:533-580); with fixed arenas the
+    equivalent is a permutation gather that moves the surviving keyframes
+    to the front, so the monotonic cursor regains headroom and long
+    sequences never hit a silent mapping stop.
+
+    perm: [K] int32 — perm[j] = old slot now stored at new slot j (the
+        first n_keep entries are the surviving slots in ascending order,
+        preserving recency == slot order).
+    new_of_old: [K] int32 — new slot per old slot; culled slots map to the
+        nearest SURVIVING predecessor (the stand-in for the reference's
+        reparenting of a bad keyframe's children/points).
+    n_keep: int32 scalar — number of surviving keyframes.
+    """
+    K = arena.kmax
+    j = jnp.arange(K)
+    live = j < n_keep
+
+    def g(a):
+        return a[perm]
+
+    covis = arena.covis[perm][:, perm]
+    covis = jnp.where(live[:, None] & live[None, :], covis, 0)
+    parent_old = arena.kf_parent[perm]
+    parent_new = jnp.where(parent_old >= 0,
+                           new_of_old[jnp.maximum(parent_old, 0)], -1)
+    # a keyframe whose remapped parent is itself (its parent was culled and
+    # the nearest survivor IS the keyframe) becomes a root
+    parent_new = jnp.where(parent_new == j, -1, parent_new)
+    ref_new = new_of_old[jnp.clip(arena.pt_ref_kf, 0, K - 1)]
+    return arena._replace(
+        kf_pose=jnp.where(live[:, None, None], g(arena.kf_pose),
+                          jnp.eye(4)),
+        kf_valid=live & arena.kf_valid[perm],
+        kf_time=jnp.where(live, g(arena.kf_time), 0.0),
+        kf_uv=g(arena.kf_uv),
+        kf_ur=g(arena.kf_ur),
+        kf_depth=g(arena.kf_depth),
+        kf_level=g(arena.kf_level),
+        kf_angle=g(arena.kf_angle),
+        kf_desc=g(arena.kf_desc),
+        kf_kp_valid=jnp.where(live[:, None], g(arena.kf_kp_valid), False),
+        kf_obs=jnp.where(live[:, None], g(arena.kf_obs), -1),
+        covis=covis,
+        kf_parent=jnp.where(live, parent_new, -1).astype(jnp.int32),
+        pt_ref_kf=jnp.where(arena.pt_ref_kf >= 0, ref_new,
+                            arena.pt_ref_kf).astype(jnp.int32),
+        n_kf=jnp.asarray(n_keep, jnp.int32),
+    )

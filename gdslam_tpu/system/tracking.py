@@ -491,6 +491,9 @@ class Tracking:
         # KeyFrameTrajectory.txt timestamps (list index == arena kf slot).
         self.kf_timestamps: list[float] = []
         self.arena_full_warned = False
+        self.kf_arena_full_warned = False
+        self._compact_requested = False
+        self.compact_min_gain = 8   # min slots a compaction must free
         # Sensor modality, set by the mono entry point: the keyframe cadence
         # rules differ (thRefRatio 0.9 vs 0.75, dense mono insertion) and
         # must NOT be inferred from per-frame depth statistics — an RGB-D
@@ -628,6 +631,8 @@ class Tracking:
         self.kf_timestamps = []
         self._mono_first = None
         self.arena_full_warned = False
+        self.kf_arena_full_warned = False
+        self._compact_requested = False
         if self.loop_closer is not None:
             self.loop_closer.reset()
 
@@ -1039,6 +1044,72 @@ class Tracking:
                     self.records.append(
                         (float(dropped[3]), self.ref_kf, T_cr_drop, True))
                 break
+        if self._compact_requested and not self._pending:
+            self._maybe_compact()
+
+    def _maybe_compact(self):
+        """Recycle culled keyframe slots once the arena saturates (the
+        counterpart of the reference freeing bad keyframes,
+        KeyFrame::SetBadFlag KeyFrame.cc:533-580). Runs only at
+        pipeline-quiescent points (no in-flight frames): the permutation
+        invalidates slot indices held by pending rollback backups.
+
+        Culls redundant keyframes first, then compacts survivors to the
+        front (recency == slot order preserved) and remaps every host-side
+        slot reference: timestamps, trajectory records, ref_kf, and the
+        loop closer's BoW database."""
+        if not self._compact_requested:
+            return
+        self._compact_requested = False
+        assert not self._pending, "compaction requires a quiescent pipeline"
+        from gdslam_tpu.backend import gba
+        self.arena = gba.keyframe_culling(self.arena)
+        valid = np.asarray(self.arena.kf_valid)   # one sync; rare event
+        n_kf = self.n_kf_host
+        keep = np.nonzero(valid[:n_kf])[0]
+        if len(keep) > n_kf - max(1, self.compact_min_gain):
+            # culling freed almost nothing: warn once, mapping stops growing
+            if not self.kf_arena_full_warned:
+                import warnings
+                warnings.warn(
+                    "gdslam_tpu: keyframe arena is full (kmax="
+                    f"{self.arena.kmax}) and culling frees too few slots; "
+                    "no new keyframes will be created. Construct Tracking "
+                    "with a larger kmax for long sequences.")
+                self.kf_arena_full_warned = True
+            return
+        K = self.arena.kmax
+        perm = np.concatenate(
+            [keep, np.setdiff1d(np.arange(K), keep)]).astype(np.int32)
+        new_of_old = np.zeros(K, np.int32)
+        new_of_old[perm] = np.arange(K, dtype=np.int32)
+        last_kept = 0
+        for old in range(n_kf):
+            if valid[old]:
+                last_kept = new_of_old[old]
+            else:
+                new_of_old[old] = last_kept
+        self.arena = ma.compact_keyframes(
+            self.arena, jnp.asarray(perm), jnp.asarray(new_of_old),
+            jnp.asarray(len(keep), jnp.int32))
+        self.kf_timestamps = [self.kf_timestamps[i] for i in keep]
+        self.records = [(ts, int(new_of_old[ref]), T_cr, lost)
+                        for ts, ref, T_cr, lost in self.records]
+        self.ref_kf = int(new_of_old[self.ref_kf])
+        lc = self.loop_closer
+        if lc is not None:
+            from gdslam_tpu.backend import keyframe_db as kdb
+            live = jnp.arange(K) < len(keep)
+            pj = jnp.asarray(perm)
+            lc.db = kdb.BowDatabase(
+                vectors=jnp.where(live[:, None], lc.db.vectors[pj], 0.0),
+                words=jnp.where(live[:, None], lc.db.words[pj], -1),
+                valid=live & lc.db.valid[pj])
+            if lc.last_loop_kf >= 0:
+                lc.last_loop_kf = int(new_of_old[lc.last_loop_kf])
+            lc._consistent = {}   # streak anchors refer to old slots
+            lc.loops = [(int(new_of_old[a]), int(new_of_old[b]), T)
+                        for a, b, T in lc.loops]
 
     def _relocalize(self, frame: Frame):
         """Relocalization (Tracking.cc:1670-1832): candidate keyframes from
@@ -1075,6 +1146,10 @@ class Tracking:
             # short-term tracking loss near the last mapped region.
             candidates = list(range(n_kf - 1, max(-1, n_kf - 6), -1))
 
+        # Match ALL candidates first (async device dispatches), then read
+        # every match count in ONE batched device_get — the previous
+        # per-candidate int(n_m) cost a ~28 ms tunnel round trip each.
+        matches = []
         for kf in candidates:
             if self.loop_closer is not None and words is not None:
                 from gdslam_tpu.backend.loop_closing import _bow_guided_matches
@@ -1086,7 +1161,15 @@ class Tracking:
                 m_idx, n_m = _dense_ratio_matches(
                     frame.desc, frame.valid,
                     arena.kf_desc[kf], arena.kf_kp_valid[kf])
-            if int(n_m) < 15:
+            matches.append((kf, m_idx, n_m))
+        n_ms = jax.device_get([m[2] for m in matches])
+        # Try candidates best-first (the reference iterates all candidates'
+        # PnP solvers round-robin, Tracking.cc:1737; best-first reaches the
+        # same accept with fewer RANSAC dispatches).
+        order = sorted(range(len(matches)), key=lambda i: -int(n_ms[i]))
+        for ci in order:
+            kf, m_idx, _ = matches[ci]
+            if int(n_ms[ci]) < 15:
                 continue
             rows = jnp.maximum(m_idx, 0)
             pt = arena.kf_obs[kf][rows]
@@ -1141,6 +1224,13 @@ class Tracking:
         """NeedNewKeyFrame rules for RGB-D (Tracking.cc:1306-1390), fed by
         the statistics the fused track_step already computed."""
         if self.n_kf_host >= self.arena.kmax - 1:
+            # Saturated: request a compaction pass (recycles culled slots —
+            # KeyFrame::SetBadFlag frees them in the reference) at the next
+            # pipeline-quiescent point; until then, no new keyframes.
+            self._compact_requested = True
+            if not self.pipeline:
+                self._maybe_compact()
+                return False
             return False
         # under heavy dynamic masking close_tracked can sit below 100
         # permanently; without the reference's busy-LocalMapping backpressure
