@@ -234,55 +234,102 @@ def inpaint(db: GeometryDB, cur_rgb, cur_depth, cur_mask, T_cw,
             cfg: SlamConfig):
     """FillRGBD (Geometry.cc:478-945): composite DB static pixels into the
     current view with min-depth occlusion; fill only where cur_mask==0 (and
-    missing depth). Returns (rgb_out, depth_out)."""
+    missing depth). Returns (rgb_out, depth_out).
+
+    Two passes over the ring DB (one lax.scan each):
+      1. z-buffer: per-target-pixel minimum projected depth across every DB
+         frame (occlusion resolution).
+      2. area-weighted accumulation: each source pixel lands at a
+         non-integer target position and distributes its color/depth to the
+         4 surrounding pixels with bilinear area weights — the reference's
+         Area(x, x_a, y, y_a) accumulator images (Geometry.cc:587-601) —
+         keeping only contributions within a depth-similarity band of the
+         z-buffer winner. Nearest-pixel winner-takes-all (the round-1/2
+         design) left aliasing seams and single-pixel holes the reference
+         fills; the weighted accumulation reproduces its smooth composite.
+    """
     cam = cfg.camera
     g = cfg.geometry
     H, W = cam.height, cam.width
     v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     uv = jnp.stack([u, v], -1)
+    HW = H * W
 
-    best_z = jnp.full((H, W), jnp.inf)
-    acc_rgb = jnp.zeros((H, W, 3))
-
-    def one_frame(carry, idx):
-        best_z, acc_rgb = carry
+    def project_frame(idx):
+        """(u_f, v_f, z_proj, src_ok) of DB frame idx in the current view."""
         ok = db.valid[idx]
         z_ref = db.depth[idx]
         T_rel = T_cw @ lie.se3_inverse(db.pose[idx])
         X = lie.se3_apply(T_rel, cam_ops.backproject(uv, z_ref, cam))
         uv_c, z_proj = cam_ops.project(X, cam)
-        ui = jnp.round(uv_c[..., 0]).astype(jnp.int32)
-        vi = jnp.round(uv_c[..., 1]).astype(jnp.int32)
-        src_ok = ok & (z_ref > g.min_depth_threshold) & (db.mask[idx] > 0.5) & \
-            (z_proj > g.min_depth_threshold) & (ui >= 0) & (ui < W) & \
-            (vi >= 0) & (vi < H)
-        flat = jnp.where(src_ok, vi * W + ui, H * W)
-        zbuf = jnp.full(H * W + 1, jnp.inf).at[flat.reshape(-1)].min(
-            jnp.where(src_ok, z_proj, jnp.inf).reshape(-1))
-        # winner-takes-all color for pixels this frame wins
-        is_winner = src_ok & (z_proj <= zbuf[flat] + 1e-6) & \
-            (z_proj < best_z.reshape(-1)[jnp.clip(flat, 0, H * W - 1)].reshape(H, W))
-        rgbbuf = jnp.zeros((H * W + 1, 3)).at[
-            jnp.where(is_winner, flat, H * W).reshape(-1)].set(
-            db.rgb[idx].reshape(-1, 3))
-        zb2 = jnp.full(H * W + 1, jnp.inf).at[
-            jnp.where(is_winner, flat, H * W).reshape(-1)].min(
-            jnp.where(is_winner, z_proj, jnp.inf).reshape(-1))
-        new_z = zb2[:H * W].reshape(H, W)
-        take = new_z < best_z
-        best_z = jnp.where(take, new_z, best_z)
-        acc_rgb = jnp.where(take[..., None], rgbbuf[:H * W].reshape(H, W, 3),
-                            acc_rgb)
-        return (best_z, acc_rgb), None
+        u_f, v_f = uv_c[..., 0], uv_c[..., 1]
+        src_ok = ok & (z_ref > g.min_depth_threshold) & \
+            (db.mask[idx] > 0.5) & (z_proj > g.min_depth_threshold) & \
+            (u_f >= 0) & (u_f < W - 1) & (v_f >= 0) & (v_f < H - 1)
+        return u_f, v_f, z_proj, src_ok
 
-    (best_z, acc_rgb), _ = jax.lax.scan(
-        one_frame, (best_z, acc_rgb), jnp.arange(db.valid.shape[0]))
+    def corners(u_f, v_f):
+        """4 bilinear corners: (ui, vi, weight) each [H, W]."""
+        u0 = jnp.floor(u_f)
+        v0 = jnp.floor(v_f)
+        du = u_f - u0
+        dv = v_f - v0
+        u0 = u0.astype(jnp.int32)
+        v0 = v0.astype(jnp.int32)
+        return ((u0, v0, (1 - du) * (1 - dv)),
+                (u0 + 1, v0, du * (1 - dv)),
+                (u0, v0 + 1, (1 - du) * dv),
+                (u0 + 1, v0 + 1, du * dv))
 
-    have = jnp.isfinite(best_z)
+    # --- pass 1: bilinear-corner z-buffer --------------------------------
+    def zbuf_frame(best_z, idx):
+        u_f, v_f, z_proj, src_ok = project_frame(idx)
+        for ui, vi, w in corners(u_f, v_f):
+            touch = src_ok & (w > 1e-6)
+            flat = jnp.where(touch, vi * W + ui, HW).reshape(-1)
+            best_z = best_z.at[flat].min(
+                jnp.where(touch, z_proj, jnp.inf).reshape(-1))
+        return best_z, None
+
+    best_z, _ = jax.lax.scan(zbuf_frame, jnp.full(HW + 1, jnp.inf),
+                             jnp.arange(db.valid.shape[0]))
+    best_z = best_z[:HW]
+
+    # --- pass 2: accumulate (w, w*rgb, w*z) within the depth band --------
+    def acc_frame(carry, idx):
+        acc_w, acc_rgb, acc_z = carry
+        u_f, v_f, z_proj, src_ok = project_frame(idx)
+        rgb_src = db.rgb[idx]
+        for ui, vi, w in corners(u_f, v_f):
+            flat_c = jnp.clip(vi * W + ui, 0, HW - 1)
+            # depth-similarity band around the z-buffer winner: occluded
+            # contributions (behind a nearer surface) are rejected the way
+            # the reference's depth checks reject them
+            near = z_proj <= best_z[flat_c] + jnp.maximum(
+                0.04 * z_proj, 0.05)
+            keep = src_ok & near & (w > 1e-6)
+            flat = jnp.where(keep, vi * W + ui, HW).reshape(-1)
+            wk = jnp.where(keep, w, 0.0).reshape(-1)
+            acc_w = acc_w.at[flat].add(wk)
+            acc_rgb = acc_rgb.at[flat].add(wk[:, None] *
+                                           rgb_src.reshape(-1, 3))
+            acc_z = acc_z.at[flat].add(wk * z_proj.reshape(-1))
+        return (acc_w, acc_rgb, acc_z), None
+
+    (acc_w, acc_rgb, acc_z), _ = jax.lax.scan(
+        acc_frame,
+        (jnp.zeros(HW + 1), jnp.zeros((HW + 1, 3)), jnp.zeros(HW + 1)),
+        jnp.arange(db.valid.shape[0]))
+    wsum = jnp.maximum(acc_w[:HW], 1e-9).reshape(H, W)
+    mean_rgb = acc_rgb[:HW].reshape(H, W, 3) / wsum[..., None]
+    mean_z = acc_z[:HW].reshape(H, W) / wsum
+
+    have = (acc_w[:HW].reshape(H, W) > 1e-6) & \
+        jnp.isfinite(best_z.reshape(H, W))
     hole = (cur_mask < 0.5) | (cur_depth <= 0)
-    rgb_out = jnp.where((hole & have)[..., None], acc_rgb, cur_rgb)
-    depth_out = jnp.where(hole & have, best_z, cur_depth)
+    rgb_out = jnp.where((hole & have)[..., None], mean_rgb, cur_rgb)
+    depth_out = jnp.where(hole & have, mean_z, cur_depth)
     return rgb_out, depth_out
 
 
