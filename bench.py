@@ -59,11 +59,18 @@ def bench_gd(frames, cfg):
     from gdslam_tpu.system.slam import System
 
     slam = System(cfg, pipeline=True)
-    slam.tracker.commit_every = 6
-    # The CLI feeds uint8 rgb + uint16 raw depth (4x smaller tunnel upload,
-    # device-side conversion) — bench the same contract.
+    # Commit cadence 10 (vs the plain path's 6): the GD program is ~2x the
+    # plain one, so the flush's ~28 ms tunnel round trip needs more frames
+    # to amortize; measured 26.4 fps at 6 vs 35.7 fps at 10, collapsing
+    # again at 15 (in-flight queue too deep for the tunnel).
+    slam.tracker.commit_every = 10
+    # The CLI feeds uint8 GRAY + uint16 raw depth (gray is converted on
+    # host, ~1 ms numpy; rgb would cost 3x the tunnel upload, measured
+    # 56 -> 38 ms/frame switching to gray) — bench the same contract.
     dmf = cfg.camera.depth_map_factor
-    raw = [(np.asarray(fr.rgb).astype(np.uint8),
+    w3 = np.array([0.299, 0.587, 0.114], np.float32)
+    raw = [((np.asarray(fr.rgb).astype(np.uint8).astype(np.float32) @ w3)
+            .astype(np.uint8),
             (np.asarray(fr.depth) * dmf).astype(np.uint16))
            for fr in frames]
     # warm-up: cover every compile path incl. keyframe culling (8th KF)

@@ -226,7 +226,16 @@ class System:
         geometry ring DB (Tracking.cc:262). Returns (T_cw, refined_mask);
         with inpaint=True additionally runs background inpainting
         (Tracking.cc:259) and returns (T_cw, refined_mask, rgb_out,
-        depth_out) — the reference's imRGBOut/imDOut output arguments."""
+        depth_out) — the reference's imRGBOut/imDOut output arguments.
+
+        `rgb` may be a single-channel uint8 GRAY image when inpaint=False:
+        the GD path itself needs no color (gray flow + depth), and a
+        host-side grayscale conversion (~1 ms numpy) cuts the per-frame
+        tunnel upload 3x (921 KB rgb -> 307 KB gray, measured 56 -> 38
+        ms/frame on the tunneled TPU)."""
+        if inpaint and getattr(rgb, "ndim", 3) != 3:
+            raise ValueError("inpaint=True needs a 3-channel rgb input "
+                             "(the inpainted output is color imagery)")
         from gdslam_tpu.frontend.frame import build_frame
         from gdslam_tpu.masking.geomask import GeoMaskMaker
         if self._geo is None:
