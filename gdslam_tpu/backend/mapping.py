@@ -249,9 +249,13 @@ def refresh_points(arena: ma.MapArena, kf_id, cfg: SlamConfig,
     distance to the rest. UpdateNormalAndDepth (MapPoint.cc:330-371): normal
     = mean unit ray from observing camera centers; scale range from the
     newest observation's level. The reference walks all observations through
-    the pointer graph; here a fixed recent-keyframe window bounds the shapes
-    (older observations rarely change the median; the arena stores no
-    inverse point->keypoint map by design).
+    the pointer graph; here a fixed recent-keyframe window bounds the
+    shapes, PLUS each point's reference keyframe as one extra candidate:
+    long-lived points re-observed after a loop would otherwise get purely
+    recency-biased descriptors, while the reference's all-observations
+    median keeps the loop-side appearance in the vote — the ref-KF
+    (birth-side) descriptor restores exactly that constituency at O(1)
+    extra candidates.
     """
     N = arena.n_features
     W = window
@@ -276,11 +280,22 @@ def refresh_points(arena: ma.MapArena, kf_id, cfg: SlamConfig,
     kp_safe = jnp.maximum(kp_in_w, 0)
     # candidate descriptors: [W, N, 32]
     cand = arena.kf_desc[rows[:, None], kp_safe]
-    # pairwise Hamming among the W candidates per point: [N, W, W]
     cand_n = jnp.transpose(cand, (1, 0, 2))                  # [N, W, 32]
+
+    # Extra candidate: the point's reference-keyframe (birth) observation,
+    # skipped when that keyframe already sits inside the recency window.
+    ref_rows = jnp.clip(arena.pt_ref_kf[t_idx], 0, arena.kmax - 1)  # [N]
+    eq = arena.kf_obs[ref_rows] == t_idx[:, None]            # [N, N]
+    ref_kp = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    ref_has = jnp.any(eq, axis=1) & t_ok & \
+        (arena.pt_ref_kf[t_idx] >= 0) & arena.kf_valid[ref_rows] & \
+        ~((ref_rows >= base) & (ref_rows <= kf_id))
+    ref_desc = arena.kf_desc[ref_rows, ref_kp]               # [N, 32]
+    cand_n = jnp.concatenate([cand_n, ref_desc[:, None, :]], axis=1)
     ham = hamming.hamming_packed(cand_n[:, :, None, :],
-                                 cand_n[:, None, :, :])      # [N, W, W]
-    has_n = jnp.transpose(has)                               # [N, W]
+                                 cand_n[:, None, :, :])      # [N, W+1, W+1]
+    has_n = jnp.concatenate([jnp.transpose(has), ref_has[:, None]],
+                            axis=1)                          # [N, W+1]
     pair_ok = has_n[:, :, None] & has_n[:, None, :]
     # median distance per candidate: sort with invalid -> +inf, take the
     # element at (count-1)//2 like the reference's vDists[0.5*(N-1)]
@@ -306,6 +321,13 @@ def refresh_points(arena: ma.MapArena, kf_id, cfg: SlamConfig,
         jnp.linalg.norm(rays, axis=2, keepdims=True), 1e-9)
     rays = jnp.where(has[..., None], rays, 0.0)
     nsum = jnp.sum(rays, axis=0)                             # [N, 3]
+    # reference-keyframe observation contributes its ray too
+    T_ref = arena.kf_pose[ref_rows]                          # [N, 4, 4]
+    c_ref = -jnp.einsum("nij,ni->nj", T_ref[:, :3, :3], T_ref[:, :3, 3])
+    r_ref = pos - c_ref
+    r_ref = r_ref / jnp.maximum(
+        jnp.linalg.norm(r_ref, axis=1, keepdims=True), 1e-9)
+    nsum = nsum + jnp.where(ref_has[:, None], r_ref, 0.0)
     nnorm = jnp.linalg.norm(nsum, axis=1, keepdims=True)
     new_normal = nsum / jnp.maximum(nnorm, 1e-9)
 

@@ -303,6 +303,14 @@ def batched_track_step(cfg: SlamConfig, height: int, width: int, mesh: Mesh,
     branches un-vmapped (real branches, no select lowering).
     """
     n_dev = mesh.devices.size
+    if local_batch > 1:
+        import warnings
+        warnings.warn(
+            "batched_track_step(local_batch>1): vmap lowers every lax.cond "
+            "(init/reloc/keyframe) to selects, so ALL branches execute for "
+            "ALL slots each frame — expect ~2-3x the per-frame device cost "
+            "of the intended 1-sequence-per-device operating point.",
+            stacklevel=2)
 
     def one(state, gray, depth):
         masks = jnp.ones((height, width))

@@ -155,8 +155,12 @@ class System:
         if not use_geometry:
             return self.tracker.process(gray, depth, mask, timestamp)
         T, _ = self._track_rgbd_geometry(gray, depth, mask, timestamp)
-        self._update_geometry_db(gray, depth, self._last_refined_mask,
-                                 jnp.asarray(rgb, jnp.float32))
+        # the inpainting ring stores color; with a single-channel input the
+        # gray image stands in for all three channels
+        rgb_j = jnp.asarray(rgb, jnp.float32)
+        if rgb_j.ndim == 2:
+            rgb_j = jnp.broadcast_to(rgb_j[..., None], rgb_j.shape + (3,))
+        self._update_geometry_db(gray, depth, self._last_refined_mask, rgb_j)
         return T
 
     def track_rgbd_geom(self, rgb: np.ndarray, depth: np.ndarray,

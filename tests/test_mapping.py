@@ -126,6 +126,38 @@ class TestPointMaintenance:
         assert abs(np.linalg.norm(n) - 1.0) < 1e-5
         assert n[2] > 0.9  # both cameras look +z toward the point
 
+    def test_refresh_includes_reference_keyframe_outside_window(self):
+        """A point whose reference keyframe fell OUT of the recency window
+        still contributes its birth-side descriptor to the median vote
+        (MapPoint.cc:242-308 walks ALL observations; recency-only voting
+        would bias long-lived points re-observed after a loop)."""
+        window = 2
+        arena = ma.new_arena(kmax=8, pmax=64, n_features=8)
+        key = jax.random.PRNGKey(1)
+        d_old = jax.random.randint(key, (32,), 0, 256, jnp.int32).astype(
+            jnp.uint8)
+        # two recent observations identical to the OLD (birth) descriptor,
+        # one recent outlier: with the ref candidate in the vote, the
+        # majority (3 of 4) pins the winner to the d_old appearance
+        d_out = 255 - d_old
+        arena = arena._replace(
+            kf_valid=arena.kf_valid.at[:6].set(True),
+            kf_kp_valid=arena.kf_kp_valid.at[0, 0].set(True)
+            .at[4, 0].set(True).at[5, 0].set(True),
+            kf_desc=arena.kf_desc.at[0, 0].set(d_old)
+            .at[4, 0].set(d_out).at[5, 0].set(d_old),
+            kf_obs=arena.kf_obs.at[0, 0].set(5).at[4, 0].set(5)
+            .at[5, 0].set(5),
+            pt_valid=arena.pt_valid.at[5].set(True),
+            pt_ref_kf=arena.pt_ref_kf.at[5].set(0),
+            pt_pos=arena.pt_pos.at[5].set(jnp.asarray([0.0, 0.0, 2.0])),
+            n_kf=jnp.asarray(6, jnp.int32),
+            n_pt=jnp.asarray(6, jnp.int32),
+        )
+        out = mapping.refresh_points(arena, 5, SCFG, window=window)
+        got = np.asarray(out.pt_desc[5])
+        assert (got == np.asarray(d_old)).all()
+
     def test_replace_points_redirects_observations(self):
         arena, _, _ = self._arena_two_kfs()
         # a second point (id 7) observed by kf1 kp 1
