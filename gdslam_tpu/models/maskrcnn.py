@@ -39,6 +39,10 @@ DYNAMIC_CLASS_NAMES = (
     "elephant", "bear", "zebra", "giraffe")
 DYNAMIC_CLASS_IDS = tuple(range(1, 10)) + tuple(range(15, 25))
 
+# Box-regression target normalization (reference config.py BBOX_STD_DEV /
+# RPN_BBOX_STD_DEV = [0.1, 0.1, 0.2, 0.2]).
+BBOX_STD = np.asarray([0.1, 0.1, 0.2, 0.2], np.float32)
+
 
 class Bottleneck(nn.Module):
     filters: int
@@ -404,6 +408,94 @@ class MaskRCNN(nn.Module):
             jnp.maximum(jnp.sum(gt_valid) * 28 * 28, 1)
         return rpn_cls + rpn_box + head_cls + head_box + head_mask
 
+    def train_losses_sampled(self, image: jnp.ndarray, gt_boxes: jnp.ndarray,
+                             gt_classes: jnp.ndarray, gt_mask: jnp.ndarray,
+                             gt_valid: jnp.ndarray, n_rois: int = 64,
+                             pos_ratio: float = 0.33):
+        """The reference's full training graph: RPN losses on IoU-matched
+        anchors PLUS heads trained on RPN *proposals* sampled at a fixed
+        positive ratio (ProposalLayer model.py:224-280 +
+        detection_targets_graph model.py:451-560, TRAIN_ROIS_PER_IMAGE /
+        ROI_POSITIVE_RATIO=0.33 config semantics).
+
+        Unlike `train_losses` (teacher-forced on gt boxes — cheap, used by
+        the toy fit), this trains the box head on *imperfect* proposals so
+        its refinement deltas are non-trivial, exactly like the reference.
+        Returns a dict of named losses incl. "total"."""
+        H, W = self.image_hw
+        x = image[None] - jnp.asarray([123.7, 116.8, 103.9])
+        feats = self.backbone(x)
+        anchors = jnp.asarray(generate_anchors((H, W)))
+        logits, deltas = [], []
+        for f in feats:
+            lg, dl = self.rpn(f)
+            logits.append(lg[0])
+            deltas.append(dl[0])
+        logits = jnp.concatenate(logits)
+        deltas = jnp.concatenate(deltas, axis=0)
+
+        # --- RPN losses (rpn_class_loss_graph/rpn_bbox_loss_graph,
+        # model.py:943-1005) — identical targets to train_losses.
+        iou = box_iou(anchors, gt_boxes) * gt_valid[None, :]
+        best_iou = jnp.max(iou, axis=1)
+        best_gt = jnp.argmax(iou, axis=1)
+        pos = best_iou > 0.5
+        top_anchor = jnp.argmax(iou, axis=0)
+        pos = pos.at[top_anchor].set(pos[top_anchor] | gt_valid)
+        neg = best_iou < 0.3
+        bce = optax_sigmoid_bce(logits, pos.astype(jnp.float32))
+        n_pos = jnp.maximum(jnp.sum(pos), 1)
+        rpn_cls = jnp.sum(jnp.where(pos, bce, 0)) / n_pos + \
+            jnp.sum(jnp.where(neg, bce, 0)) / jnp.maximum(jnp.sum(neg), 1)
+        tgt = box_deltas_inverse(anchors, gt_boxes[best_gt]) / BBOX_STD
+        rpn_box = jnp.sum(jnp.where(pos[:, None],
+                                    huber(deltas - tgt), 0)) / n_pos
+
+        # --- ProposalLayer (model.py:224-280): decode top anchors, clip,
+        # NMS. stop_gradient: proposal COORDINATES are training data for the
+        # heads, not a differentiable path (the reference's graph likewise
+        # samples targets outside the gradient tape).
+        p_logits = jax.lax.stop_gradient(logits)
+        p_deltas = jax.lax.stop_gradient(deltas)
+        top_s, top_i = jax.lax.top_k(p_logits, self.pre_nms)
+        props = apply_deltas(anchors[top_i], p_deltas[top_i] * BBOX_STD)
+        props = jnp.stack([jnp.clip(props[:, 0], 0, H),
+                           jnp.clip(props[:, 1], 0, W),
+                           jnp.clip(props[:, 2], 0, H),
+                           jnp.clip(props[:, 3], 0, W)], -1)
+        keep = nms_fixed(props, top_s, 0.7, self.post_nms)
+        proposals = props[jnp.maximum(keep, 0)]
+        prop_valid = keep >= 0
+
+        rois, roi_cls, box_tgt, is_pos, roi_valid, _ = detection_targets(
+            proposals, prop_valid, gt_boxes, gt_classes, gt_valid,
+            n_rois=n_rois, pos_ratio=pos_ratio)
+
+        # --- heads on the sampled ROIs (mrcnn_*_loss_graph,
+        # model.py:1007-1080).
+        crops = roi_align(feats, rois, 7, (H, W))
+        cls_logits, box_d_all = self.box_head(crops)
+        R = rois.shape[0]
+        ce = -jax.nn.log_softmax(cls_logits)[jnp.arange(R), roi_cls]
+        head_cls = jnp.sum(jnp.where(roi_valid, ce, 0)) / \
+            jnp.maximum(jnp.sum(roi_valid), 1)
+        d_sel = box_d_all[jnp.arange(R), roi_cls]
+        head_box = jnp.sum(jnp.where(is_pos[:, None],
+                                     huber(d_sel - box_tgt), 0)) / \
+            jnp.maximum(jnp.sum(is_pos) * 4, 1)
+        mask_crops = roi_align(feats, rois, 14, (H, W))
+        mask_logits = self.mask_head(mask_crops)
+        m_sel = jax.vmap(lambda m, c: m[:, :, c])(mask_logits, roi_cls)
+        roi28 = jax.vmap(lambda b: crop_mask(gt_mask, b, 28))(rois)
+        mbce = optax_sigmoid_bce(m_sel, roi28)
+        head_mask = jnp.sum(jnp.where(is_pos[:, None, None], mbce, 0)) / \
+            jnp.maximum(jnp.sum(is_pos) * 28 * 28, 1)
+        total = rpn_cls + rpn_box + head_cls + head_box + head_mask
+        return {"total": total, "rpn_class": rpn_cls, "rpn_box": rpn_box,
+                "head_class": head_cls, "head_box": head_box,
+                "head_mask": head_mask,
+                "n_pos_rois": jnp.sum(is_pos).astype(jnp.float32)}
+
 
 def optax_sigmoid_bce(logits, labels):
     """Numerically-stable sigmoid BCE."""
@@ -428,6 +520,47 @@ def box_deltas_inverse(boxes: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     tcx = targets[:, 1] + 0.5 * tw
     return jnp.stack([(tcy - cy) / h, (tcx - cx) / w,
                       jnp.log(th / h), jnp.log(tw / w)], -1)
+
+
+def detection_targets(proposals: jnp.ndarray, prop_valid: jnp.ndarray,
+                      gt_boxes: jnp.ndarray, gt_classes: jnp.ndarray,
+                      gt_valid: jnp.ndarray, n_rois: int = 64,
+                      pos_ratio: float = 0.33):
+    """Static-shape redesign of detection_targets_graph (model.py:451-560).
+
+    The reference RANDOMLY subsamples positives to TRAIN_ROIS_PER_IMAGE *
+    ROI_POSITIVE_RATIO and fills the rest with negatives (model.py:503-513).
+    Random gathers with data-dependent counts don't fit one XLA program, so
+    selection is deterministic top-k instead: positives by match IoU,
+    negatives by IoU below the 0.5 bar (HARD negatives — the near-miss
+    proposals carry the gradient signal random sampling finds only in
+    expectation).
+
+    Returns (rois [n,4], roi_cls [n], box_tgt [n,4] BBOX_STD-normalized,
+    is_pos [n] bool, roi_valid [n] bool, matched_gt [n] int)."""
+    iou = box_iou(proposals, gt_boxes) * gt_valid[None, :]
+    iou = jnp.where(prop_valid[:, None], iou, 0.0)
+    best_iou = jnp.max(iou, axis=1)
+    best_gt = jnp.argmax(iou, axis=1)
+    pos = (best_iou >= 0.5) & prop_valid          # model.py:494
+    neg = (best_iou < 0.5) & prop_valid           # model.py:498
+    P = proposals.shape[0]
+    n_pos = min(max(1, int(round(n_rois * pos_ratio))), P)
+    n_neg = min(n_rois - n_pos, P)
+    pv, pi = jax.lax.top_k(jnp.where(pos, best_iou, -1.0), n_pos)
+    pos_ok = pv >= 0.5
+    nv, ni = jax.lax.top_k(jnp.where(neg, best_iou, -1.0), n_neg)
+    neg_ok = nv >= 0.0
+    idx = jnp.concatenate([pi, ni])
+    roi_valid = jnp.concatenate([pos_ok, neg_ok])
+    is_pos = jnp.concatenate([pos_ok, jnp.zeros(n_neg, bool)])
+    rois = proposals[idx]
+    matched_gt = best_gt[idx]
+    roi_cls = jnp.where(is_pos, gt_classes[matched_gt], 0)
+    box_tgt = box_deltas_inverse(rois, gt_boxes[matched_gt]) / \
+        jnp.asarray(BBOX_STD)
+    box_tgt = jnp.where(is_pos[:, None], box_tgt, 0.0)
+    return rois, roi_cls, box_tgt, is_pos, roi_valid, matched_gt
 
 
 def crop_mask(mask: jnp.ndarray, box: jnp.ndarray, out: int) -> jnp.ndarray:
@@ -470,6 +603,42 @@ def train_toy(model: "MaskRCNN", variables, images, boxes, classes, masks,
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
     return {"params": params, "batch_stats": batch_stats}
+
+
+def train_sampled(model: "MaskRCNN", variables, images, boxes, classes,
+                  masks, valids, steps: int = 100, lr: float = 1e-3,
+                  batch: int = 2, seed: int = 0):
+    """Batched proposal-sampled training — the shape of the reference's real
+    training loop (model.py:2130-2230 MaskRCNN.train consumes batched
+    detection targets from detection_targets_graph). vmaps
+    `train_losses_sampled` over a B-image mini-batch and steps Adam on the
+    mean total loss. Returns (variables, per-step losses)."""
+    import optax
+    tx = optax.adam(lr)
+
+    def one_loss(params, batch_stats, img, bx, cl, mk, vd):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           img, bx, cl, mk, vd,
+                           method=MaskRCNN.train_losses_sampled)["total"]
+
+    def loss_fn(params, batch_stats, imgs, bxs, cls_, mks, vds):
+        f = jax.vmap(one_loss, in_axes=(None, None, 0, 0, 0, 0, 0))
+        return jnp.mean(f(params, batch_stats, imgs, bxs, cls_, mks, vds))
+
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    opt_state = tx.init(params)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    B = images.shape[0]
+    losses = []
+    for step in range(steps):
+        sel = np.arange(step * batch, (step + 1) * batch) % B
+        loss, grads = grad_fn(params, batch_stats, images[sel], boxes[sel],
+                              classes[sel], masks[sel], valids[sel])
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    return {"params": params, "batch_stats": batch_stats}, losses
 
 
 def paste_masks(det: dict, image_hw: tuple, dynamic_only: bool = True,

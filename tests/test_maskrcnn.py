@@ -259,6 +259,64 @@ class TestWeightConversion:
 
 class TestTrainableSegmenter:
     @pytest.mark.e2e
+    def test_detection_targets_matching(self):
+        """Constructed proposals: the exact-gt proposal becomes a positive
+        with the gt class and ~zero box target; a disjoint proposal becomes
+        a class-0 negative (detection_targets_graph semantics,
+        model.py:451-560)."""
+        gt_boxes = jnp.asarray([[10.0, 10, 30, 30], [50.0, 50, 70, 80]])
+        gt_classes = jnp.asarray([3, 7], jnp.int32)
+        gt_valid = jnp.asarray([True, True])
+        proposals = jnp.asarray([
+            [10.0, 10, 30, 30],     # exact match of gt 0
+            [52.0, 52, 72, 82],     # strong overlap with gt 1
+            [0.0, 80, 20, 100],     # background
+            [12.0, 12, 32, 32],     # good overlap with gt 0
+        ])
+        prop_valid = jnp.ones(4, bool)
+        rois, roi_cls, box_tgt, is_pos, roi_valid, mgt = \
+            mrc.detection_targets(proposals, prop_valid, gt_boxes,
+                                  gt_classes, gt_valid, n_rois=8,
+                                  pos_ratio=0.5)
+        is_pos = np.asarray(is_pos)
+        roi_cls = np.asarray(roi_cls)
+        rois = np.asarray(rois)
+        # the exact match is the top positive with ~zero regression target
+        assert is_pos[0]
+        np.testing.assert_allclose(rois[0], [10, 10, 30, 30], atol=1e-4)
+        assert roi_cls[0] == 3
+        np.testing.assert_allclose(np.asarray(box_tgt)[0], 0.0, atol=1e-4)
+        # all positives carry gt classes; every negative is class 0
+        assert set(roi_cls[is_pos]) <= {3, 7}
+        assert (roi_cls[~is_pos] == 0).all()
+        # the background proposal lands in the negative half, valid
+        neg_rows = np.asarray(roi_valid) & ~is_pos
+        assert neg_rows.any()
+
+    def test_sampled_losses_train_step(self):
+        """train_losses_sampled is differentiable end-to-end and one
+        train_sampled step reduces the batch loss on repeated data."""
+        hw = (96, 128)
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 255, (2,) + hw + (3,)).astype(np.float32)
+        boxes = jnp.asarray([[[20.0, 30, 60, 80]], [[25.0, 35, 65, 85]]])
+        classes = jnp.full((2, 1), 3, jnp.int32)
+        masks = jnp.zeros((2,) + hw).at[:, 20:60, 30:80].set(1.0)
+        valids = jnp.ones((2, 1), bool)
+        model = mrc.MaskRCNN(image_hw=hw, blocks=(1, 1, 1, 1),
+                             pre_nms=128, post_nms=16, max_det=8)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros(hw + (3,)))
+        out = model.apply(variables, jnp.asarray(img[0]), boxes[0],
+                          classes[0], masks[0], valids[0],
+                          method=mrc.MaskRCNN.train_losses_sampled)
+        for k, v in out.items():
+            assert np.isfinite(float(v)), k
+        trained, losses = mrc.train_sampled(
+            model, variables, jnp.asarray(img), boxes, classes, masks,
+            valids, steps=6, lr=1e-3, batch=2)
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
     def test_toy_training_segments_disks(self):
         """Few-epoch fit on synthetic disk instances: the trained pipeline
         (RPN proposals -> heads -> paste_masks) must localize the disk —

@@ -1,0 +1,134 @@
+"""Per-stage device timing of the hot per-frame programs on the real TPU.
+
+Measures pure device time (dispatch in a tight loop on device-resident
+inputs, block_until_ready at the end, divide by reps) for:
+  - extractor.extract                    (the front-end)
+  - tracking.track_step                  (plain path full per-frame program)
+  - tracking.keyframe_program            (amortized mapping program)
+  - slam._gd_track_program               (GD path full per-frame program)
+  - geomask gd_step pieces: flow levels, Mahalanobis
+
+Usage: python tools/profile_hot.py [reps]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(name, fn, reps=20):
+    out = fn()                       # compile
+    jax.block_until_ready(out)
+    out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps * 1e3
+    print(f"{name:42s} {dt:8.2f} ms")
+    return dt
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    from gdslam_tpu.config import SlamConfig
+    from gdslam_tpu.io import synthetic
+    from gdslam_tpu.frontend import extractor
+    from gdslam_tpu.frontend.frame import build_frame
+    from gdslam_tpu.system.tracking import Tracking, track_step
+
+    cfg = SlamConfig()
+    cam = cfg.camera
+    frames = [synthetic.render_frame(i, cam, with_dynamic=False)
+              for i in range(12)]
+    g0, d0 = frames[0].gray, frames[0].depth
+    g1, d1 = frames[1].gray, frames[1].depth
+    ones = jnp.ones((cam.height, cam.width))
+    jax.block_until_ready((g0, d0, g1, d1))
+
+    timeit("extract", lambda: extractor.extract(g1, cfg.orb, cam.height,
+                                                cam.width), reps)
+
+    # a live tracker to get a valid arena/last state
+    tr = Tracking(cfg, kmax=256, pmax=65536, pipeline=False)
+    for i, fr in enumerate(frames):
+        tr.process(fr.gray, fr.depth, ones, i / 30.0)
+    vel = tr.velocity if tr.velocity is not None else jnp.eye(4)
+    has_vel = tr.velocity is not None
+
+    timeit("track_step (full per-frame program)",
+           lambda: track_step(tr.arena, tr.last, vel, jnp.asarray(has_vel),
+                              g1, d1, ones, cfg, jnp.asarray(tr.ref_kf),
+                              jnp.asarray(False)), reps)
+
+    from gdslam_tpu.system import tracking as trmod
+    if hasattr(trmod, "keyframe_program"):
+        feats = extractor.extract(g1, cfg.orb, cam.height, cam.width)
+        frame = build_frame(feats, d1, ones, cam)
+        # signature probe: just time via tracker._do_keyframe is stateful;
+        # skip unless simple
+    # GD program
+    from gdslam_tpu.system.slam import System, _gd_track_program
+    slam = System(cfg, pipeline=True)
+    dmf = cam.depth_map_factor
+    w3 = np.array([0.299, 0.587, 0.114], np.float32)
+    raw = [((np.asarray(fr.rgb).astype(np.uint8).astype(np.float32) @ w3)
+            .astype(np.uint8), (np.asarray(fr.depth) * dmf).astype(np.uint16))
+           for fr in frames]
+    for i in range(10):
+        slam.track_rgbd_gd(raw[i][0], raw[i][1], None, i / 30.0)
+    slam.tracker.flush()
+    tr2 = slam.tracker
+    geo = slam._geo
+    if geo is not None and geo.warm and tr2.last is not None:
+        ref_gray, ref_depth, ref_feats = geo.ref_for_next()
+        sem = jnp.ones((cam.height, cam.width), jnp.float32)
+        vel2 = tr2.velocity if tr2.velocity is not None else tr2._eye4
+        rgb_u8 = jnp.asarray(raw[10][0])
+        dep_u16 = jnp.asarray(raw[10][1])
+        jax.block_until_ready((rgb_u8, dep_u16))
+        timeit("_gd_track_program (full GD frame)",
+               lambda: _gd_track_program(
+                   tr2.arena, tr2.last, vel2, tr2._jbool(tr2.velocity is not None),
+                   tr2._ref_kf_dev, tr2._jbool(False), rgb_u8, dep_u16, sem,
+                   ref_gray, ref_depth, ref_feats, cfg, True, tr2.frame_id),
+               reps)
+
+        # flow alone
+        from gdslam_tpu.ops import flow as flow_ops
+        from gdslam_tpu.masking import geomask
+        g_prev = ref_gray
+        g_cur = geo.ring_gray()[geo.head - 1] if hasattr(geo, "ring_gray") else g1
+
+        fl_fn = jax.jit(lambda a, b: flow_ops.farneback_flow(a, b))
+        timeit("farneback_flow (default knobs)", lambda: fl_fn(g0, g1), reps)
+
+    # host-side dispatch overhead: time N pipelined process() calls with
+    # device-resident inputs (includes python + tunnel dispatch latency)
+    tr3 = Tracking(cfg, kmax=256, pmax=65536, pipeline=True)
+    tr3.commit_every = 6
+    i = 0
+    while i < len(frames) and len(tr3.kf_timestamps) < 4:
+        tr3.process(frames[i].gray, frames[i].depth, ones, i / 30.0)
+        i += 1
+    tr3.flush()
+    jax.block_until_ready(tr3.last.T_cw)
+    t0 = time.perf_counter()
+    n = 0
+    for k in range(i, len(frames)):
+        tr3.process(frames[k].gray, frames[k].depth, ones, k / 30.0)
+        n += 1
+    tr3.flush()
+    jax.block_until_ready(tr3.last.T_cw)
+    print(f"{'pipelined process() wall/frame':42s} "
+          f"{(time.perf_counter() - t0) / max(n, 1) * 1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
