@@ -176,8 +176,25 @@ def run_local_ba(arena: ma.MapArena, prob: LocalBAProblem, cfg: SlamConfig,
     ur = arena.kf_ur[prob.kf_ids]
     inv_sigma2 = 1.0 / sf ** (2.0 * arena.kf_level[prob.kf_ids].astype(jnp.float32))
 
+    chi2_th_all = jnp.where(ur >= 0, CHI2_STEREO, CHI2_MONO)
+
+    def robust_cost(poses, pts, inlier):
+        """Huber-robustified total chi2 — the LM acceptance criterion."""
+        _, _, _, valid, e2, _ = _edge_terms(poses, pts, prob, uv, ur,
+                                            inv_sigma2, K, bf)
+        rho = jnp.where(e2 <= chi2_th_all, e2,
+                        2.0 * jnp.sqrt(chi2_th_all * jnp.maximum(e2, 0.0))
+                        - chi2_th_all)
+        return jnp.sum(jnp.where(valid & inlier, rho, 0.0))
+
     def gn_iter(state, inlier):
-        poses, pts = state
+        # Levenberg-Marquardt control (the reference optimizes with g2o LM,
+        # Optimizer.cc:751): compute the damped GN step, accept only if the
+        # robust cost decreases, adapt lambda. Plain GN diverged
+        # catastrophically when a revisit seam's large residuals entered the
+        # problem (measured: a keyframe insertion flipping its own pose to
+        # negative median depth, then successive BAs wrecking neighbors).
+        poses, pts, lam, cost = state
         r, Jc, Jp, valid, e2, w = _edge_terms(poses, pts, prob, uv, ur,
                                               inv_sigma2, K, bf)
         w = w * (valid & inlier)
@@ -195,7 +212,11 @@ def run_local_ba(arena: ma.MapArena, prob: LocalBAProblem, cfg: SlamConfig,
         flat_slot = jnp.where(prob.obs_slot >= 0, slot, P_CAP).reshape(-1)
         acc = jnp.zeros((P_CAP + 1, 12)).at[flat_slot].add(
             pt_blocks.reshape(-1, 12))[:P_CAP]
-        Hpp = acc[:, :9].reshape(P_CAP, 3, 3) + damping * jnp.eye(3)
+        Hpp = acc[:, :9].reshape(P_CAP, 3, 3)
+        # Marquardt damping: scale the diagonal (lam is relative, so the
+        # pixel-unit magnitudes of Hpp/S don't matter) + small absolute
+        # floor to keep empty blocks invertible.
+        Hpp = Hpp + lam * Hpp * jnp.eye(3) + damping * jnp.eye(3)
         bp = acc[:, 9:12]
         # Camera-point coupling W: needed only for the L optimized cameras.
         # A keyframe observes each point through at most ONE keypoint
@@ -218,7 +239,7 @@ def run_local_ba(arena: ma.MapArena, prob: LocalBAProblem, cfg: SlamConfig,
         S = S.at[jnp.arange(L), jnp.arange(L)].add(Hcc)
         bs = bc - jnp.einsum("apik,pk->ai", WH, bp, precision=_PREC)
         S_m = S.transpose(0, 2, 1, 3).reshape(6 * L, 6 * L)
-        S_m = S_m + damping * jnp.eye(6 * L)
+        S_m = S_m + lam * S_m * jnp.eye(6 * L) + damping * jnp.eye(6 * L)
         # Gauge: unoptimized/padded cameras get identity rows via mask.
         dc = -jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(S_m), bs.reshape(-1)).reshape(L, 6)
@@ -234,13 +255,20 @@ def run_local_ba(arena: ma.MapArena, prob: LocalBAProblem, cfg: SlamConfig,
         dp = jnp.where(jnp.isfinite(dp), dp, 0.0) * prob.pt_mask[:, None]
 
         new_local = jax.vmap(lambda x, T: lie.se3_exp(x) @ T)(dc, poses[:L])
-        poses = jnp.concatenate([new_local, poses[L:]], axis=0)
-        pts = pts + dp
-        return (poses, pts)
+        cand_poses = jnp.concatenate([new_local, poses[L:]], axis=0)
+        cand_pts = pts + dp
+        cand_cost = robust_cost(cand_poses, cand_pts, inlier)
+        accept = cand_cost < cost
+        poses = jnp.where(accept, cand_poses, poses)
+        pts = jnp.where(accept, cand_pts, pts)
+        cost = jnp.where(accept, cand_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.33, lam * 8.0), 1e-6, 1e3)
+        return (poses, pts, lam, cost)
 
     # Pass 1: 5 iterations, all edges.
     inlier = jnp.ones_like(prob.obs_slot, bool)
-    state = (poses0, pts0)
+    state = (poses0, pts0, jnp.asarray(1e-4, jnp.float32),
+             robust_cost(poses0, pts0, inlier))
     for _ in range(iters1):
         state = gn_iter(state, inlier)
     # Outlier classification (Optimizer.cc: chi2 gate between passes).
@@ -248,9 +276,11 @@ def run_local_ba(arena: ma.MapArena, prob: LocalBAProblem, cfg: SlamConfig,
                                         inv_sigma2, K, bf)
     chi2_th = jnp.where(ur >= 0, CHI2_STEREO, CHI2_MONO)
     inlier = valid & (e2 <= chi2_th)
+    state = (state[0], state[1], state[2],
+             robust_cost(state[0], state[1], inlier))
     for _ in range(iters2):
         state = gn_iter(state, inlier)
-    poses, pts = state
+    poses, pts = state[0], state[1]
     # Keep poses on SE(3): repeated exp-compositions preserve (and float
     # rounding seeds) SO(3) deviation that the tracker's velocity cycle then
     # amplifies geometrically (lie.so3_project).

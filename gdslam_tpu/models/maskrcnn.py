@@ -51,20 +51,25 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # train=True computes batch statistics and ASSIGNS them to the
+        # running stats (momentum 0) — used only by calibrate_batch_stats;
+        # training itself runs frozen-BN like the reference (TRAIN_BN=False,
+        # model.py:1929 comment), whose pretrained h5 carries good stats.
+        def bn(v):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=0.0, epsilon=1e-3)(v)
         residual = x
         y = nn.Conv(self.filters, (1, 1), strides=(self.strides,) * 2,
                     use_bias=False)(x)
-        y = nn.BatchNorm(use_running_average=True, epsilon=1e-3)(y)
-        y = nn.relu(y)
+        y = nn.relu(bn(y))
         y = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False)(y)
-        y = nn.BatchNorm(use_running_average=True, epsilon=1e-3)(y)
-        y = nn.relu(y)
+        y = nn.relu(bn(y))
         y = nn.Conv(self.filters * 4, (1, 1), use_bias=False)(y)
-        y = nn.BatchNorm(use_running_average=True, epsilon=1e-3)(y)
+        y = bn(y)
         if self.projection:
             residual = nn.Conv(self.filters * 4, (1, 1),
                                strides=(self.strides,) * 2, use_bias=False)(x)
-            residual = nn.BatchNorm(use_running_average=True, epsilon=1e-3)(residual)
+            residual = bn(residual)
         return nn.relu(y + residual)
 
 
@@ -75,19 +80,20 @@ class ResNetFPN(nn.Module):
     fpn_dim: int = 256
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.0,
+                         epsilon=1e-3)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         cs = []
         for i, n_block in enumerate(self.blocks):
             filters = 64 * (2 ** i)
             stride = 1 if i == 0 else 2
-            x = Bottleneck(filters, strides=stride, projection=True)(x)
+            x = Bottleneck(filters, strides=stride, projection=True)(x, train)
             for _ in range(n_block - 1):
-                x = Bottleneck(filters)(x)
+                x = Bottleneck(filters)(x, train)
             cs.append(x)
         c2, c3, c4, c5 = cs
         p5 = nn.Conv(self.fpn_dim, (1, 1))(c5)
@@ -266,6 +272,13 @@ class MaskRCNN(nn.Module):
         self.rpn = RPNHead()
         self.box_head = BoxHead()
         self.mask_head = MaskHead()
+
+    def backbone_stats(self, image: jnp.ndarray):
+        """One backbone pass in batch-stats mode — apply with
+        mutable=["batch_stats"] to calibrate the frozen-BN running stats
+        (see calibrate_batch_stats)."""
+        x = image[None] - jnp.asarray([123.7, 116.8, 103.9])
+        return self.backbone(x, train=True)
 
     def __call__(self, image: jnp.ndarray, score_th: float = 0.7):
         """image [H, W, 3] float (0..255). Returns dict with fixed-size
@@ -531,10 +544,13 @@ def detection_targets(proposals: jnp.ndarray, prop_valid: jnp.ndarray,
     The reference RANDOMLY subsamples positives to TRAIN_ROIS_PER_IMAGE *
     ROI_POSITIVE_RATIO and fills the rest with negatives (model.py:503-513).
     Random gathers with data-dependent counts don't fit one XLA program, so
-    selection is deterministic top-k instead: positives by match IoU,
-    negatives by IoU below the 0.5 bar (HARD negatives — the near-miss
-    proposals carry the gradient signal random sampling finds only in
-    expectation).
+    selection is deterministic top-k instead: positives by match IoU;
+    negatives in two strata — half HARD (highest IoU below the 0.5 bar:
+    the near-miss proposals that carry the strongest gradient) and half
+    EASY (lowest IoU: true background), approximating the class balance the
+    reference's random sampling finds in expectation. Pure-hard selection
+    starved the class head of real background whenever near-misses
+    clustered around objects.
 
     Returns (rois [n,4], roi_cls [n], box_tgt [n,4] BBOX_STD-normalized,
     is_pos [n] bool, roi_valid [n] bool, matched_gt [n] int)."""
@@ -549,8 +565,16 @@ def detection_targets(proposals: jnp.ndarray, prop_valid: jnp.ndarray,
     n_neg = min(n_rois - n_pos, P)
     pv, pi = jax.lax.top_k(jnp.where(pos, best_iou, -1.0), n_pos)
     pos_ok = pv >= 0.5
-    nv, ni = jax.lax.top_k(jnp.where(neg, best_iou, -1.0), n_neg)
-    neg_ok = nv >= 0.0
+    n_hard = n_neg // 2
+    n_easy = n_neg - n_hard
+    hv, hi = jax.lax.top_k(jnp.where(neg, best_iou, -1.0), n_hard)
+    hard_ok = hv >= 0.0
+    taken = jnp.zeros(P, bool).at[hi].set(hard_ok)
+    easy_pool = neg & ~taken
+    ev, ei = jax.lax.top_k(jnp.where(easy_pool, -best_iou, -2.0), n_easy)
+    easy_ok = ev >= -1.0
+    ni = jnp.concatenate([hi, ei])
+    neg_ok = jnp.concatenate([hard_ok, easy_ok])
     idx = jnp.concatenate([pi, ni])
     roi_valid = jnp.concatenate([pos_ok, neg_ok])
     is_pos = jnp.concatenate([pos_ok, jnp.zeros(n_neg, bool)])
@@ -578,6 +602,33 @@ def crop_mask(mask: jnp.ndarray, box: jnp.ndarray, out: int) -> jnp.ndarray:
             + m[y0 + 1][:, x0] * fy * (1 - fx) + m[y0 + 1][:, x0 + 1] * fy * fx)
 
 
+def calibrate_batch_stats(model: "MaskRCNN", variables, images,
+                          passes: int = 2):
+    """Set the frozen-BN running stats from real activation statistics.
+
+    The reference trains with TRAIN_BN=False on top of pretrained weights
+    whose BN moving stats already match the data (model.py:1929 config
+    comment); `convert_keras_h5` carries those over. From-scratch training
+    has no such stats — the init (mean 0, var 1) leaves raw-image-scale
+    activations unnormalized through the whole ResNet, blowing RPN/head
+    logits to ~1e2 and making the loss landscape untrainable (measured:
+    total loss 576 at init, rising under Adam). Each calibration pass runs
+    the backbone in batch-stats mode (momentum 0 = direct assignment), so
+    layer k+1's stats are computed under layer k's batch normalization —
+    after a couple of passes the frozen forward reproduces the calibrated
+    one. Returns variables with updated batch_stats."""
+    fwd = jax.jit(lambda v, im: model.apply(
+        v, im, method=MaskRCNN.backbone_stats, mutable=["batch_stats"]))
+    for _ in range(passes):
+        stats = []
+        for i in range(images.shape[0]):
+            _, upd = fwd(variables, images[i])
+            stats.append(upd["batch_stats"])
+        avg = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs), 0), *stats)
+        variables = {**variables, "batch_stats": avg}
+    return variables
+
+
 def train_toy(model: "MaskRCNN", variables, images, boxes, classes, masks,
               valids, steps: int = 100, lr: float = 1e-3, seed: int = 0):
     """Few-epoch fit on synthetic data so the semantic stack can produce
@@ -585,7 +636,9 @@ def train_toy(model: "MaskRCNN", variables, images, boxes, classes, masks,
     this environment). images [B,H,W,3]; boxes [B,G,4]; classes [B,G];
     masks [B,H,W]; valids [B,G]. Returns trained variables."""
     import optax
-    tx = optax.adam(lr)
+    # clip like the reference (config.py GRADIENT_CLIP_NORM = 5.0)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr))
+    variables = calibrate_batch_stats(model, variables, images)
 
     def loss_fn(params, batch_stats, img, bx, cl, mk, vd):
         return model.apply({"params": params, "batch_stats": batch_stats},
@@ -607,38 +660,52 @@ def train_toy(model: "MaskRCNN", variables, images, boxes, classes, masks,
 
 def train_sampled(model: "MaskRCNN", variables, images, boxes, classes,
                   masks, valids, steps: int = 100, lr: float = 1e-3,
-                  batch: int = 2, seed: int = 0):
+                  batch: int = 2, seed: int = 0,
+                  with_components: bool = False):
     """Batched proposal-sampled training — the shape of the reference's real
     training loop (model.py:2130-2230 MaskRCNN.train consumes batched
     detection targets from detection_targets_graph). vmaps
     `train_losses_sampled` over a B-image mini-batch and steps Adam on the
-    mean total loss. Returns (variables, per-step losses)."""
+    mean total loss. Returns (variables, per-step losses); with
+    with_components=True also returns the per-step named-loss dicts."""
     import optax
-    tx = optax.adam(lr)
+    # clip like the reference (config.py GRADIENT_CLIP_NORM = 5.0)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr))
+    variables = calibrate_batch_stats(model, variables, images)
 
     def one_loss(params, batch_stats, img, bx, cl, mk, vd):
         return model.apply({"params": params, "batch_stats": batch_stats},
                            img, bx, cl, mk, vd,
-                           method=MaskRCNN.train_losses_sampled)["total"]
+                           method=MaskRCNN.train_losses_sampled)
 
     def loss_fn(params, batch_stats, imgs, bxs, cls_, mks, vds):
         f = jax.vmap(one_loss, in_axes=(None, None, 0, 0, 0, 0, 0))
-        return jnp.mean(f(params, batch_stats, imgs, bxs, cls_, mks, vds))
+        comps = jax.tree.map(
+            lambda x: jnp.mean(x),
+            f(params, batch_stats, imgs, bxs, cls_, mks, vds))
+        return comps["total"], comps
 
     params = variables["params"]
     batch_stats = variables["batch_stats"]
     opt_state = tx.init(params)
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
     B = images.shape[0]
     losses = []
+    components = []
+    order = np.random.default_rng(seed).permutation(B)
     for step in range(steps):
-        sel = np.arange(step * batch, (step + 1) * batch) % B
-        loss, grads = grad_fn(params, batch_stats, images[sel], boxes[sel],
-                              classes[sel], masks[sel], valids[sel])
+        sel = order[np.arange(step * batch, (step + 1) * batch) % B]
+        (loss, comps), grads = grad_fn(params, batch_stats, images[sel],
+                                       boxes[sel], classes[sel], masks[sel],
+                                       valids[sel])
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         losses.append(float(loss))
-    return {"params": params, "batch_stats": batch_stats}, losses
+        components.append({k: float(v) for k, v in comps.items()})
+    out_vars = {"params": params, "batch_stats": batch_stats}
+    if with_components:
+        return out_vars, losses, components
+    return out_vars, losses
 
 
 def paste_masks(det: dict, image_hw: tuple, dynamic_only: bool = True,

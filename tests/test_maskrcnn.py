@@ -258,7 +258,6 @@ class TestWeightConversion:
 
 
 class TestTrainableSegmenter:
-    @pytest.mark.e2e
     def test_detection_targets_matching(self):
         """Constructed proposals: the exact-gt proposal becomes a positive
         with the gt class and ~zero box target; a disjoint proposal becomes
@@ -293,6 +292,7 @@ class TestTrainableSegmenter:
         neg_rows = np.asarray(roi_valid) & ~is_pos
         assert neg_rows.any()
 
+    @pytest.mark.e2e
     def test_sampled_losses_train_step(self):
         """train_losses_sampled is differentiable end-to-end and one
         train_sampled step reduces the batch loss on repeated data."""
@@ -317,6 +317,7 @@ class TestTrainableSegmenter:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
 
+    @pytest.mark.e2e
     def test_toy_training_segments_disks(self):
         """Few-epoch fit on synthetic disk instances: the trained pipeline
         (RPN proposals -> heads -> paste_masks) must localize the disk —

@@ -40,7 +40,6 @@ def main():
     from gdslam_tpu.config import SlamConfig
     from gdslam_tpu.io import synthetic
     from gdslam_tpu.frontend import extractor
-    from gdslam_tpu.frontend.frame import build_frame
     from gdslam_tpu.system.tracking import Tracking, track_step
 
     cfg = SlamConfig()
@@ -67,12 +66,6 @@ def main():
                               g1, d1, ones, cfg, jnp.asarray(tr.ref_kf),
                               jnp.asarray(False)), reps)
 
-    from gdslam_tpu.system import tracking as trmod
-    if hasattr(trmod, "keyframe_program"):
-        feats = extractor.extract(g1, cfg.orb, cam.height, cam.width)
-        frame = build_frame(feats, d1, ones, cam)
-        # signature probe: just time via tracker._do_keyframe is stateful;
-        # skip unless simple
     # GD program
     from gdslam_tpu.system.slam import System, _gd_track_program
     slam = System(cfg, pipeline=True)
@@ -102,9 +95,6 @@ def main():
 
         # flow alone
         from gdslam_tpu.ops import flow as flow_ops
-        from gdslam_tpu.masking import geomask
-        g_prev = ref_gray
-        g_cur = geo.ring_gray()[geo.head - 1] if hasattr(geo, "ring_gray") else g1
 
         fl_fn = jax.jit(lambda a, b: flow_ops.farneback_flow(a, b))
         timeit("farneback_flow (default knobs)", lambda: fl_fn(g0, g1), reps)
