@@ -179,13 +179,21 @@ def run_local_ba(arena: ma.MapArena, prob: LocalBAProblem, cfg: SlamConfig,
     chi2_th_all = jnp.where(ur >= 0, CHI2_STEREO, CHI2_MONO)
 
     def robust_cost(poses, pts, inlier):
-        """Huber-robustified total chi2 — the LM acceptance criterion."""
+        """Huber-robustified total chi2 — the LM acceptance criterion.
+
+        Edge set frozen to the state-independent mask: an edge whose point
+        leaves the camera frustum (z <= 0) at the evaluated state pays a
+        saturated penalty instead of dropping out, so a step cannot be
+        accepted BECAUSE it pushed points behind the camera."""
         _, _, _, valid, e2, _ = _edge_terms(poses, pts, prob, uv, ur,
                                             inv_sigma2, K, bf)
+        structural = (prob.obs_slot >= 0) & inlier
         rho = jnp.where(e2 <= chi2_th_all, e2,
                         2.0 * jnp.sqrt(chi2_th_all * jnp.maximum(e2, 0.0))
                         - chi2_th_all)
-        return jnp.sum(jnp.where(valid & inlier, rho, 0.0))
+        rho_sat = 2.0 * jnp.sqrt(chi2_th_all * 1e8) - chi2_th_all
+        return jnp.sum(jnp.where(structural,
+                                 jnp.where(valid, rho, rho_sat), 0.0))
 
     def gn_iter(state, inlier):
         # Levenberg-Marquardt control (the reference optimizes with g2o LM,

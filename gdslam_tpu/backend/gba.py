@@ -72,12 +72,29 @@ def _all_edge_terms(arena: ma.MapArena, poses, pts, K, bf, sf,
 
 
 def _robust_cost(arena, poses, pts, K, bf, sf, inlier):
-    """Total Huber-robustified chi2 (the LM acceptance criterion)."""
+    """Total Huber-robustified chi2 (the LM acceptance criterion).
+
+    The edge set is FROZEN to the state-independent mask (observation
+    structure + the caller's inlier gate): an edge whose point falls behind
+    the camera (z <= 1e-6) at the evaluated state pays a saturated Huber
+    penalty instead of dropping out — otherwise a candidate step that
+    pushes points behind the camera would shrink its own cost sum and be
+    accepted while degrading the map (the exact divergence mode LM
+    acceptance exists to prevent)."""
     _, _, _, _, _, _, e2, chi2_th, valid = _all_edge_terms(
         arena, poses, pts, K, bf, sf, inlier)
+    obs = arena.kf_obs
+    structural = (obs >= 0) & arena.kf_valid[:, None] & \
+        arena.pt_valid[jnp.maximum(obs, 0)]
+    if inlier is not None:
+        structural = structural & inlier
+    # within structural edges, `valid` differs only by the state-dependent
+    # z_ok gate — so ~valid there means "lost depth validity"
     rho = jnp.where(e2 <= chi2_th, e2,
                     2.0 * jnp.sqrt(chi2_th * jnp.maximum(e2, 0.0)) - chi2_th)
-    return jnp.sum(jnp.where(valid, rho, 0.0))
+    # saturated penalty: the Huber rho of an e2 = 1e8 residual
+    rho_sat = 2.0 * jnp.sqrt(chi2_th * 1e8) - chi2_th
+    return jnp.sum(jnp.where(structural, jnp.where(valid, rho, rho_sat), 0.0))
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
@@ -214,8 +231,10 @@ def global_bundle_adjustment(arena: ma.MapArena, cfg: SlamConfig,
         inlier = gated_inlier(arena.kf_pose, arena.pt_pos, 4.0)
         h1 = max(sweeps // 2, 1)
         poses, pts = run(arena.kf_pose, arena.pt_pos, inlier, h1)
+        # sweeps - h1 may be 0 (sweeps=1): the re-gate still applies but no
+        # further LM step runs, keeping the total at the requested count
         inlier = gated_inlier(poses, pts, 1.0)
-        poses, pts = run(poses, pts, inlier, max(sweeps - h1, 1))
+        poses, pts = run(poses, pts, inlier, sweeps - h1)
     else:
         all_in = jnp.ones(arena.kf_obs.shape, bool)
         poses, pts = run(arena.kf_pose, arena.pt_pos, all_in, sweeps)
