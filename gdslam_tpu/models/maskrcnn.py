@@ -222,38 +222,52 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_th: float,
 def roi_align(feats: list, boxes: jnp.ndarray, out_size: int,
               image_hw: tuple) -> jnp.ndarray:
     """Crop [R, out, out, C] from the FPN level chosen per-box (the
-    sqrt(wh)/224 rule of model.py PyramidROIAlign), via bilinear sampling."""
-    H, W = image_hw
+    sqrt(wh)/224 rule of model.py PyramidROIAlign), via bilinear sampling.
+
+    TPU layout: all four levels are flattened into ONE [sum(h*w), C] buffer
+    and each output pixel's 4 bilinear corners become global flat indices
+    through the box's level offset — 4 gathers of [R, out, out, C] total.
+    (The first formulation cropped every box from every level then selected:
+    its per-tap advanced indexing gathered full-width feature rows, ~150M
+    elements per forward at 480x640 — profiled as the dominant cost of the
+    whole segmenter.)"""
+    strides = (4, 8, 16, 32)
+    lvls = feats[:4]
+    shapes = [(f.shape[1], f.shape[2]) for f in lvls]
+    C = lvls[0].shape[-1]
+    flat = jnp.concatenate([f[0].reshape(-1, C) for f in lvls], axis=0)
+    offsets = np.cumsum([0] + [h * w for h, w in shapes])[:4]
+
     h = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1.0)
     w = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1.0)
     level = jnp.clip(jnp.floor(2 + jnp.log2(jnp.sqrt(h * w) / 224.0 + 1e-9)),
                      0, 3).astype(jnp.int32)   # P2..P5
+    stride = jnp.asarray(strides, jnp.float32)[level][:, None]      # [R,1]
+    fh = jnp.asarray([s[0] for s in shapes], jnp.int32)[level][:, None]
+    fw = jnp.asarray([s[1] for s in shapes], jnp.int32)[level][:, None]
+    off = jnp.asarray(offsets, jnp.int32)[level][:, None, None]     # [R,1,1]
+
     ys = jnp.linspace(0.0, 1.0, out_size)
     xs = jnp.linspace(0.0, 1.0, out_size)
+    y = (boxes[:, 0:1] + ys[None] * (boxes[:, 2:3] - boxes[:, 0:1])) \
+        / stride - 0.5                                              # [R,out]
+    x = (boxes[:, 1:2] + xs[None] * (boxes[:, 3:4] - boxes[:, 1:2])) \
+        / stride - 0.5
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    fy = (y - y0)[:, :, None, None]
+    fx = (x - x0)[:, None, :, None]
+    fwr = fw[:, :, None]                                            # [R,1,1]
 
-    def crop_from(feat, stride, box):
-        y = (box[0] + ys * (box[2] - box[0])) / stride - 0.5
-        x = (box[1] + xs * (box[3] - box[1])) / stride - 0.5
-        y0 = jnp.floor(y).astype(jnp.int32)
-        x0 = jnp.floor(x).astype(jnp.int32)
-        fy = (y - y0)[:, None, None]
-        fx = (x - x0)[None, :, None]
-        fh, fw = feat.shape[0], feat.shape[1]
+    def tap(yi, xi):
+        yi = jnp.clip(yi, 0, fh - 1)[:, :, None]                    # [R,out,1]
+        xi = jnp.clip(xi, 0, fw - 1)[:, None, :]                    # [R,1,out]
+        return flat[off + yi * fwr + xi]                            # [R,o,o,C]
 
-        def tap(yi, xi):
-            return feat[jnp.clip(yi, 0, fh - 1)][:, jnp.clip(xi, 0, fw - 1)]
-
-        v = (tap(y0, x0) * (1 - fy) * (1 - fx) + tap(y0, x0 + 1) * (1 - fy) * fx
-             + tap(y0 + 1, x0) * fy * (1 - fx) + tap(y0 + 1, x0 + 1) * fy * fx)
-        return v
-
-    strides = (4, 8, 16, 32)
-
-    def one_box(box, lv):
-        crops = [crop_from(feats[k][0], strides[k], box) for k in range(4)]
-        return jnp.select([lv == k for k in range(4)], crops)
-
-    return jax.vmap(one_box)(boxes, level)
+    return (tap(y0, x0) * (1 - fy) * (1 - fx)
+            + tap(y0, x0 + 1) * (1 - fy) * fx
+            + tap(y0 + 1, x0) * fy * (1 - fx)
+            + tap(y0 + 1, x0 + 1) * fy * fx)
 
 
 # ----------------------------------------------------------------------------
@@ -630,15 +644,22 @@ def calibrate_batch_stats(model: "MaskRCNN", variables, images,
 
 
 def train_toy(model: "MaskRCNN", variables, images, boxes, classes, masks,
-              valids, steps: int = 100, lr: float = 1e-3, seed: int = 0):
+              valids, steps: int = 100, lr: float = 1e-3, seed: int = 0,
+              calibrate: bool = True):
     """Few-epoch fit on synthetic data so the semantic stack can produce
     non-random masks in tests (no pretrained weights are downloadable in
     this environment). images [B,H,W,3]; boxes [B,G,4]; classes [B,G];
-    masks [B,H,W]; valids [B,G]. Returns trained variables."""
+    masks [B,H,W]; valids [B,G]. Returns trained variables.
+
+    calibrate=False preserves the incoming batch_stats — REQUIRED when
+    fine-tuning weights converted from the pretrained h5, whose BN moving
+    stats the reference's TRAIN_BN=False workflow depends on (model.py:1929);
+    calibration would overwrite them with this tiny batch's statistics."""
     import optax
     # clip like the reference (config.py GRADIENT_CLIP_NORM = 5.0)
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr))
-    variables = calibrate_batch_stats(model, variables, images)
+    if calibrate:
+        variables = calibrate_batch_stats(model, variables, images)
 
     def loss_fn(params, batch_stats, img, bx, cl, mk, vd):
         return model.apply({"params": params, "batch_stats": batch_stats},
@@ -661,17 +682,29 @@ def train_toy(model: "MaskRCNN", variables, images, boxes, classes, masks,
 def train_sampled(model: "MaskRCNN", variables, images, boxes, classes,
                   masks, valids, steps: int = 100, lr: float = 1e-3,
                   batch: int = 2, seed: int = 0,
-                  with_components: bool = False):
+                  with_components: bool = False, calibrate: bool = True):
     """Batched proposal-sampled training — the shape of the reference's real
     training loop (model.py:2130-2230 MaskRCNN.train consumes batched
     detection targets from detection_targets_graph). vmaps
-    `train_losses_sampled` over a B-image mini-batch and steps Adam on the
-    mean total loss. Returns (variables, per-step losses); with
-    with_components=True also returns the per-step named-loss dicts."""
+    `train_losses_sampled` over a B-image mini-batch and steps the
+    reference's optimizer — SGD momentum 0.9 with global-norm clip 5.0
+    (model.py:2165-2171, config.py LEARNING_RATE/LEARNING_MOMENTUM/
+    GRADIENT_CLIP_NORM) — on the mean total loss. SGD is ALSO the
+    numerically-correct choice here: Adam takes a full lr-sized step on
+    EVERY parameter from step 0 (measured: the frozen-BN backbone's
+    activations compounded multiplicatively, rpn_box loss 5.5 -> 772 in two
+    steps at lr=1e-3), while clipped SGD bounds the global step norm at
+    clip*lr. Returns (variables, per-step losses); with with_components=True
+    also returns the per-step named-loss dicts.
+
+    calibrate=False preserves incoming (e.g. pretrained-h5) batch_stats —
+    see train_toy."""
     import optax
-    # clip like the reference (config.py GRADIENT_CLIP_NORM = 5.0)
-    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr))
-    variables = calibrate_batch_stats(model, variables, images)
+    # the reference's optimizer: SGD(lr, momentum=0.9) + clipnorm 5.0
+    tx = optax.chain(optax.clip_by_global_norm(5.0),
+                     optax.sgd(lr, momentum=0.9))
+    if calibrate:
+        variables = calibrate_batch_stats(model, variables, images)
 
     def one_loss(params, batch_stats, img, bx, cl, mk, vd):
         return model.apply({"params": params, "batch_stats": batch_stats},
@@ -716,6 +749,22 @@ def paste_masks(det: dict, image_hw: tuple, dynamic_only: bool = True,
     out = jnp.zeros((H, W))
     ys = jnp.arange(H, dtype=jnp.float32)
     xs = jnp.arange(W, dtype=jnp.float32)
+    ks = jnp.arange(28, dtype=jnp.float32)
+
+    def interp_matrix(coord, lo, hi):
+        """[P, 28] separable bilinear weights mapping mask axis -> pixels.
+
+        Bilinear resampling factorizes per axis, so the paste becomes
+        Ky @ m @ Kx^T — two small MXU matmuls. The per-pixel 2-D gather
+        formulation (m[y0, x0] over the full [H, W] grid x 4 taps x every
+        detection) profiled at ~325 ms/frame on v5e (gathers are scalar
+        work); this is mathematically identical and ~1000x cheaper."""
+        f = (coord - lo) / jnp.maximum(hi - lo, 1.0) * 28 - 0.5
+        k0 = jnp.clip(jnp.floor(f), 0, 26)
+        w = jnp.clip(f - k0, 0, 1)
+        K = jnp.where(ks[None, :] == k0[:, None], (1 - w)[:, None], 0.0) + \
+            jnp.where(ks[None, :] == k0[:, None] + 1, w[:, None], 0.0)
+        return K
 
     def one(i, out):
         box = det["boxes"][i]
@@ -723,15 +772,9 @@ def paste_masks(det: dict, image_hw: tuple, dynamic_only: bool = True,
         is_dyn = jnp.any(det["classes"][i] == jnp.asarray(DYNAMIC_CLASS_IDS)) \
             if dynamic_only else True
         ok = det["valid"][i] & is_dyn
-        # sample the 28x28 mask at every image pixel inside the box
-        fy = (ys[:, None] - box[0]) / jnp.maximum(box[2] - box[0], 1.0) * 28 - 0.5
-        fx = (xs[None, :] - box[1]) / jnp.maximum(box[3] - box[1], 1.0) * 28 - 0.5
-        y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, 26)
-        x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, 26)
-        wy = jnp.clip(fy - y0, 0, 1)
-        wx = jnp.clip(fx - x0, 0, 1)
-        v = (m[y0, x0] * (1 - wy) * (1 - wx) + m[y0, x0 + 1] * (1 - wy) * wx
-             + m[y0 + 1, x0] * wy * (1 - wx) + m[y0 + 1, x0 + 1] * wy * wx)
+        Ky = interp_matrix(ys, box[0], box[2])              # [H, 28]
+        Kx = interp_matrix(xs, box[1], box[3])              # [W, 28]
+        v = (Ky @ m) @ Kx.T                                 # [H, W]
         inside = (ys[:, None] >= box[0]) & (ys[:, None] < box[2]) & \
                  (xs[None, :] >= box[1]) & (xs[None, :] < box[3])
         return jnp.where(ok & inside & (v > mask_th), 1.0, out)
@@ -740,20 +783,152 @@ def paste_masks(det: dict, image_hw: tuple, dynamic_only: bool = True,
 
 
 class FlaxSegmenter:
-    """Callable segmenter for masking.masknet.SegmentDynObject."""
+    """Callable segmenter for masking.masknet.SegmentDynObject.
 
-    def __init__(self, params=None, image_hw=(480, 640), seed: int = 0):
-        self.model = MaskRCNN(image_hw=image_hw)
+    infer_hw: internal inference resolution. The reference likewise resizes
+    internally (mold_inputs, model.py — every input is remolded to the
+    config's IMAGE_MIN/MAX_DIM before the backbone); here the default molds
+    LARGE inputs (>=384 rows) to half resolution, which quarters the
+    backbone/RPN cost. Detection boxes are rescaled to the output frame and
+    the 28x28 instance masks are pasted at FULL output resolution, so mask
+    sharpness is set by the instance-mask head, not the backbone grid.
+    Pass infer_hw=image_hw to force native-resolution inference."""
+
+    def __init__(self, params=None, image_hw=(480, 640), seed: int = 0,
+                 infer_hw: tuple | None = None,
+                 blocks: tuple = (3, 4, 6, 3)):
+        if infer_hw is None:
+            infer_hw = (image_hw[0] // 2, image_hw[1] // 2) \
+                if image_hw[0] >= 384 else image_hw
+        self.model = MaskRCNN(image_hw=infer_hw, blocks=tuple(blocks))
         self.image_hw = image_hw
+        self.infer_hw = infer_hw
         if params is None:
-            dummy = jnp.zeros(image_hw + (3,))
+            dummy = jnp.zeros(infer_hw + (3,))
             params = self.model.init(jax.random.PRNGKey(seed), dummy)
         self.params = params
-        self._apply = jax.jit(lambda p, im: paste_masks(
-            self.model.apply(p, im), image_hw))
+        sy = image_hw[0] / infer_hw[0]
+        sx = image_hw[1] / infer_hw[1]
+        # Params travel as ONE flat f32 buffer, unflattened inside the jit
+        # with static offsets: the tunneled TPU pays a per-ARGUMENT
+        # marshaling cost per dispatch, and this model has 307 param leaves
+        # — measured 1.9 s/frame passing the tree as arguments vs
+        # ~3 ms/frame with 2 arguments. (Baking the weights in as closure
+        # constants also fixes dispatch but makes every compile carry
+        # ~100 MB of literals — minutes per variant.)
+        leaves, self._treedef = jax.tree_util.tree_flatten(self.params)
+        self._shapes = [l.shape for l in leaves]
+        sizes = [int(np.prod(s)) for s in self._shapes]
+        self._offsets = np.cumsum([0] + sizes)
+        self._flat = jnp.concatenate(
+            [jnp.asarray(l, jnp.float32).reshape(-1) for l in leaves])
+
+        def apply(flat, im):
+            lv = [jax.lax.dynamic_slice(flat, (int(o),), (int(n),))
+                  .reshape(s) for o, n, s in
+                  zip(self._offsets[:-1], sizes, self._shapes)]
+            p = jax.tree_util.tree_unflatten(self._treedef, lv)
+            im = im.astype(jnp.float32)   # uint8 input: 4x less upload
+            if infer_hw != image_hw:
+                im = jax.image.resize(im, infer_hw + (3,), "bilinear")
+            det = self.model.apply(p, im)
+            det = {**det, "boxes": det["boxes"] *
+                   jnp.asarray([sy, sx, sy, sx])}
+            # uint8 output: the float32 [H, W] mask cost a 1.2 MB device
+            # download per frame; uint8 transfers drop the per-frame
+            # traffic 3.7+1.2 MB -> 0.9+0.3 MB
+            return paste_masks(det, image_hw).astype(jnp.uint8)
+
+        self._apply = jax.jit(apply)
 
     def __call__(self, rgb: np.ndarray) -> np.ndarray:
-        return np.asarray(self._apply(self.params, jnp.asarray(rgb)))
+        rgb = np.asarray(rgb)
+        if rgb.dtype != np.uint8:
+            rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+        return np.asarray(self._apply(self._flat, jnp.asarray(rgb)),
+                          np.float32)
+
+
+def save_variables(variables, path: str, meta: dict | None = None):
+    """Serialize a flax variables dict ({'params': ..., 'batch_stats': ...})
+    to one .npz (flattened by path). `meta` (e.g. {'blocks': [1,1,1,1],
+    'infer_hw': [120,160]}) records the model shape so build_segmenter can
+    reconstruct the matching architecture."""
+    import json
+    flat = {}
+    for col, tree in variables.items():
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for kp, leaf in leaves:
+            key = col + "/" + "/".join(
+                getattr(k, "key", getattr(k, "idx", "?")).__str__()
+                for k in kp)
+            flat[key] = np.asarray(leaf)
+    if meta:
+        flat["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **flat)
+
+
+def load_variables(path: str):
+    """Inverse of save_variables: rebuild the nested variables dict."""
+    out: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            if key == "__meta__":
+                continue
+            parts = key.split("/")
+            node = out
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(z[key])
+    return out
+
+
+def load_meta(path: str) -> dict:
+    """The meta dict stored by save_variables ({} if absent)."""
+    import json
+    with np.load(path) as z:
+        if "__meta__" not in z.files:
+            return {}
+        return json.loads(bytes(z["__meta__"]).decode())
+
+
+def build_segmenter(spec: str, image_hw=(480, 640)):
+    """Construct a live segmenter from a CLI spec (the `--segmenter` option
+    of cli/rgbd_tum and cli/evaluate — the reference's always-on MaskNet,
+    MaskNet.cc:30-49, made opt-in since no pretrained weights ship in
+    either repo):
+
+      'flax'            random weights (architecture smoke only — warns)
+      'flax:W.npz'      trained variables from save_variables
+      'flax:W.h5'       the reference's Keras mask_rcnn_coco.h5, converted
+    """
+    if not spec.startswith("flax"):
+        raise ValueError(f"unknown segmenter spec '{spec}'")
+    weights = spec.split(":", 1)[1] if ":" in spec else None
+    params = None
+    infer_hw = None
+    blocks = (3, 4, 6, 3)
+    if weights:
+        if weights.endswith(".h5"):
+            ih = (image_hw[0] // 2, image_hw[1] // 2) \
+                if image_hw[0] >= 384 else image_hw
+            params = convert_keras_h5(weights, image_hw=ih)
+            infer_hw = ih
+        else:
+            params = load_variables(weights)
+            meta = load_meta(weights)
+            if "blocks" in meta:
+                blocks = tuple(meta["blocks"])
+            if "infer_hw" in meta:
+                infer_hw = tuple(meta["infer_hw"])
+    else:
+        import warnings
+        warnings.warn("--segmenter flax without weights: the net is "
+                      "randomly initialized and its masks are meaningless; "
+                      "pass flax:weights.npz or flax:mask_rcnn_coco.h5")
+    return FlaxSegmenter(params=params, image_hw=image_hw,
+                         infer_hw=infer_hw, blocks=blocks)
 
 
 # ----------------------------------------------------------------------------

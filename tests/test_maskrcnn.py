@@ -292,10 +292,12 @@ class TestTrainableSegmenter:
         neg_rows = np.asarray(roi_valid) & ~is_pos
         assert neg_rows.any()
 
-    @pytest.mark.e2e
     def test_sampled_losses_train_step(self):
-        """train_losses_sampled is differentiable end-to-end and one
-        train_sampled step reduces the batch loss on repeated data."""
+        """train_losses_sampled is differentiable end-to-end and
+        train_sampled (the reference's clipped SGD+momentum optimizer)
+        reduces the batch loss on repeated data. Trains the real proposal-
+        sampled path, so it stays in the default suite (it caught the
+        round-4 Adam divergence: rpn_box 5.5 -> 772 in two steps)."""
         hw = (96, 128)
         rng = np.random.default_rng(1)
         img = rng.uniform(0, 255, (2,) + hw + (3,)).astype(np.float32)
@@ -304,16 +306,15 @@ class TestTrainableSegmenter:
         masks = jnp.zeros((2,) + hw).at[:, 20:60, 30:80].set(1.0)
         valids = jnp.ones((2, 1), bool)
         model = mrc.MaskRCNN(image_hw=hw, blocks=(1, 1, 1, 1),
-                             pre_nms=128, post_nms=16, max_det=8)
+                             pre_nms=64, post_nms=16, max_det=8)
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros(hw + (3,)))
-        out = model.apply(variables, jnp.asarray(img[0]), boxes[0],
-                          classes[0], masks[0], valids[0],
-                          method=mrc.MaskRCNN.train_losses_sampled)
-        for k, v in out.items():
-            assert np.isfinite(float(v)), k
-        trained, losses = mrc.train_sampled(
+        # finiteness of every named loss comes from the with_components
+        # aux (a standalone forward here would cost a second large compile)
+        trained, losses, comps = mrc.train_sampled(
             model, variables, jnp.asarray(img), boxes, classes, masks,
-            valids, steps=6, lr=1e-3, batch=2)
+            valids, steps=4, lr=1e-3, batch=2, with_components=True)
+        for k, v in comps[0].items():
+            assert np.isfinite(v), k
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
 
