@@ -85,7 +85,7 @@ def relative_pose(ref_gray, ref_depth, cur_gray, cur_depth, cfg: SlamConfig,
 @partial(jax.jit, static_argnums=(5, 6, 9))
 def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
                      cfg: SlamConfig, use_otsu: bool = False,
-                     ref_gray=None, cur_gray=None, flow_is_half: bool = False):
+                     ref_gray=None, cur_gray=None, flow_factor: int = 1):
     """GetNoGMMmask core (GeoMaskMaker.cc:167-326) as one fused program.
 
     The output mask is indexed by the *first* frame's pixel grid; `flow`
@@ -95,37 +95,40 @@ def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
     the mask to frame t, accepting the object-motion misalignment; indexing
     by the current frame keeps the mask aligned with the frame it culls).
 
-    TPU design: at production resolutions (>=240 rows) the whole program
-    runs at HALF resolution and the mask is upsampled at the end. The three
-    warp gathers dominated the full-res program (~15 ms each of 42 ms total
-    on v5e); at 240x320 the gather operand stays inside the fast path and
-    elementwise/reduction work drops 4x. Mask fidelity is unaffected at the
-    blob scale this masker feeds (keypoint culling + morphological open);
-    the per-level flow already came from a half-res refinement. Small test
-    rigs (<240 rows) keep the full-res path — at 120x160 the half grid has
-    too few pixels per blob for the statistics to survive.
+    TPU design: at production resolutions the whole program runs on a
+    REDUCED grid (res_factor: /4 at >=480 rows, /2 at >=240) and the mask
+    is upsampled at the end. The warp gathers + the ~100-op planar
+    elementwise pipeline are resolution-bound (full-res profiled 42 ms,
+    half-res 10 ms, quarter-res ~2.5 ms on v5e); mask fidelity holds at the
+    blob scale this masker feeds (keypoint culling + morphological open —
+    a TUM-scale dynamic object spans >=10 px even on the quarter grid).
+    Small test rigs (<240 rows) keep the full-res path.
 
-    flow_is_half: `flow` is already [H/2, W/2, 2] in half-res pixel units
-    (farneback_flow(..., finest_level=1, upsample=False)); otherwise a
-    full-res [H, W, 2] flow is subsampled. Only meaningful on the half-res
-    path (use `use_half_res(cfg)` to pick the flow form).
+    flow_factor: the factor at which `flow` is expressed — s means
+    [H/s, W/s, 2] in /s-pixel units (farneback_flow(...,
+    finest_level=log2(s), upsample=False)); 1 means a full-res flow which
+    is subsampled here. Use `res_factor(cfg)` to pick the flow form.
 
     Returns (mask [H,W] float 1=static, dist_norm [H,W] in [0,255])."""
     import dataclasses
     cam = cfg.camera
     gcfg = cfg.geomask
     Hf, Wf = cam.height, cam.width
-    half = use_half_res(cfg)
-    if half:
-        # Half grid: pixel (vh, uh) covers full-res pixel (2vh, 2uh), so
-        # (u_f - cx)/fx == (u_h - cx/2)/(fx/2): intrinsics simply halve.
-        H, W = (Hf + 1) // 2, (Wf + 1) // 2
-        fx, fy, cx, cy = cam.fx / 2, cam.fy / 2, cam.cx / 2, cam.cy / 2
+    s = res_factor(cfg)
+    if s > 1:
+        # Reduced grid: pixel (vh, uh) covers full-res pixel (s*vh, s*uh),
+        # so (u_f - cx)/fx == (u_h - cx/s)/(fx/s): intrinsics divide by s.
+        H, W = -(-Hf // s), -(-Wf // s)
+        fx, fy, cx, cy = cam.fx / s, cam.fy / s, cam.cx / s, cam.cy / s
         cam_h = dataclasses.replace(cam, fx=fx, fy=fy, cx=cx, cy=cy,
                                     width=W, height=H)
-        ref_depth = ref_depth[::2, ::2]  # nearest: never average true depths
-        cur_depth = cur_depth[::2, ::2]  # across discontinuities
-        fl = flow if flow_is_half else flow[::2, ::2] * 0.5
+        ref_depth = ref_depth[::s, ::s]  # nearest: never average true depths
+        cur_depth = cur_depth[::s, ::s]  # across discontinuities
+        if flow_factor == s:
+            fl = flow
+        else:
+            assert flow_factor == 1, "flow must be full-res or at res_factor"
+            fl = flow[::s, ::s] * (1.0 / s)
     else:
         H, W = Hf, Wf
         fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
@@ -152,13 +155,13 @@ def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
     if ref_gray is not None and cur_gray is not None:
         # Flow-quality gate: pixels whose warp is photometrically
         # inconsistent have unreliable flow; a wrong-flow Mahalanobis value
-        # would otherwise dominate the normalization. On the half grid the
-        # grays are 2x2 mean-pooled, NOT subsampled: aliased [::2, ::2]
-        # texture fails this gate on ~40% of genuinely-dynamic pixels
-        # (measured on the synthetic rig), gutting the mask.
-        if half:
-            rg = _pool2(ref_gray, Hf, Wf)
-            cg = _pool2(cur_gray, Hf, Wf)
+        # would otherwise dominate the normalization. On the reduced grid
+        # the grays are s x s mean-pooled, NOT subsampled: aliased
+        # [::s, ::s] texture fails this gate on ~40% of genuinely-dynamic
+        # pixels (measured on the synthetic rig), gutting the mask.
+        if s > 1:
+            rg = _pool(ref_gray, Hf, Wf, s)
+            cg = _pool(cur_gray, Hf, Wf, s)
         else:
             rg, cg = ref_gray, cur_gray
         warped = image_ops.bilinear_sample(cg, uv_cur)
@@ -188,10 +191,10 @@ def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
     f_mean = 0.5 * (cam.fx + cam.fy)
     var_zc = ((sigma / f_mean) * z_cur * z_cur) ** 2   # depth2std^2 (cc:1386)
     var_zr = ((sigma / f_mean) * z_ref * z_ref) ** 2
-    # 1 FULL-res pixel of keypoint/flow noise = 0.5 half-grid pixels, so the
-    # variance in half-grid units is 0.25 (the noise model is metric; only
-    # the units changed with the half-res grid).
-    sig_px = 0.25 if half else 1.0
+    # 1 FULL-res pixel of keypoint/flow noise = 1/s reduced-grid pixels, so
+    # the variance in grid units is 1/s^2 (the noise model is metric; only
+    # the units changed with the reduced grid).
+    sig_px = 1.0 / (s * s)
 
     def backproj_cov(uu, vv, z, var_z):
         """J S J^T for J = d(backproject)/d(u,v,z), S = diag(s,s,var_z):
@@ -289,36 +292,46 @@ def mahalanobis_mask(ref_depth, cur_depth, flow, T_cur_ref, sem_mask,
     # Morphological opening (erode then dilate) removes isolated bad-flow
     # false positives and closes the detected blob — the role the
     # reference's downstream DepthRegionGrowing + dilation plays
-    # (Geometry.cc:415-450). Half-grid windows are half the full-res 5/7
-    # (same metric extent).
+    # (Geometry.cc:415-450). Windows scale with the grid (same metric
+    # extent as the full-res 5/7).
     from gdslam_tpu.frontend.frame import dilate_mask, erode_mask
-    if half:
-        dynamic = dilate_mask(erode_mask(dynamic, 3), 5)
-    else:
-        dynamic = dilate_mask(erode_mask(dynamic, 5), 7)
+    # s=4 dilates wider: the 2-px erode on the quarter grid removes a 2x
+    # thicker metric boundary than half-res erode-3, which cost ~0.1 recall
+    # on the synthetic guard; the extra dilation restores blob extent (the
+    # reference over-dilates far more, 15 px at Geometry.cc:434-439).
+    ke, kd = {1: (5, 7), 2: (3, 5), 4: (2, 5)}[s]
+    dynamic = dilate_mask(erode_mask(dynamic, ke), kd)
     geo_static = 1.0 - dynamic.astype(jnp.float32)
-    if half:
+    if s > 1:
         # Back to full resolution (nearest): the consumers are keypoint
-        # culling and blob-level mask fusion, both insensitive to 1-px
+        # culling and blob-level mask fusion, both insensitive to small
         # boundary quanta.
-        geo_static = jnp.repeat(jnp.repeat(geo_static, 2, 0), 2, 1)[:Hf, :Wf]
-        dist = jnp.repeat(jnp.repeat(dist, 2, 0), 2, 1)[:Hf, :Wf]
+        geo_static = jnp.repeat(jnp.repeat(geo_static, s, 0), s, 1)[:Hf, :Wf]
+        dist = jnp.repeat(jnp.repeat(dist, s, 0), s, 1)[:Hf, :Wf]
     return jnp.minimum(geo_static, sem_mask), dist
 
 
+def res_factor(cfg: SlamConfig) -> int:
+    """Downsample factor of the Mahalanobis grid: 4 at production
+    resolutions (>=480 rows; quarter-res profiled ~4x cheaper than half
+    with no measurable mask-recall loss on the synthetic guard), 2 at
+    medium (>=240), 1 on small test rigs where blobs would starve."""
+    h = cfg.camera.height
+    return 4 if h >= 480 else (2 if h >= 240 else 1)
+
+
 def use_half_res(cfg: SlamConfig) -> bool:
-    """Whether the Mahalanobis masker runs on the half grid (production
-    resolutions) or full-res (small test rigs, <240 rows)."""
-    return cfg.camera.height >= 240
+    """Back-compat alias: whether the masker runs on a reduced grid."""
+    return res_factor(cfg) > 1
 
 
-def _pool2(img, Hf: int, Wf: int):
-    """2x2 mean pool (antialiased half-res gray for the photometric gate)."""
-    He, We = Hf - (Hf % 2), Wf - (Wf % 2)
-    g = img[:He, :We]
-    g = 0.25 * (g[0::2, 0::2] + g[1::2, 0::2] + g[0::2, 1::2] + g[1::2, 1::2])
-    # pad back to ceil-half shape if the full-res dims were odd
-    H, W = (Hf + 1) // 2, (Wf + 1) // 2
+def _pool(img, Hf: int, Wf: int, s: int):
+    """s x s mean pool (antialiased reduced-res gray for the photometric
+    gate)."""
+    He, We = Hf - (Hf % s), Wf - (Wf % s)
+    g = img[:He, :We].reshape(He // s, s, We // s, s).mean(axis=(1, 3))
+    # pad back to ceil shape if the full-res dims were not divisible
+    H, W = -(-Hf // s), -(-Wf // s)
     if g.shape != (H, W):
         g = jnp.pad(g, ((0, H - g.shape[0]), (0, W - g.shape[1])), mode="edge")
     return g
@@ -352,6 +365,17 @@ def gd_step(cur_gray, cur_depth, sem_mask, ref_gray, ref_depth,
     """
     cam = cfg.camera
     feats = extractor.extract(cur_gray, cfg.orb, cam.height, cam.width)
+    refined = gd_step_core(feats, cur_gray, cur_depth, sem_mask, ref_gray,
+                           ref_depth, ref_feats, key, cfg)
+    return feats, refined
+
+
+def gd_step_core(feats, cur_gray, cur_depth, sem_mask, ref_gray, ref_depth,
+                 ref_feats, key, cfg: SlamConfig):
+    """gd_step body on PRE-EXTRACTED current features (shared with the
+    batched per-slot tracker, which extracts once per frame for tracking
+    anyway). Returns the refined static mask."""
+    cam = cfg.camera
 
     def kp_depth(depth, uv):
         u = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, cam.width - 1)
@@ -376,18 +400,18 @@ def gd_step(cur_gray, cur_depth, sem_mask, ref_gray, ref_depth,
                                (cam.fx, cam.fy, cam.cx, cam.cy),
                                ref_feats.uv[idx], n_iters=300, min_inliers=20,
                                px_threshold=4.0)
-    # half-resolution finest level, consumed at half res directly when the
-    # Mahalanobis program runs on the half grid (see its docstring)
-    half = use_half_res(cfg)
+    # reduced-resolution finest level, consumed at that factor directly by
+    # the reduced-grid Mahalanobis program (see its docstring)
+    s = res_factor(cfg)
+    finest = {1: 0, 2: 1, 4: 2}[s]
     flow = flow_ops.farneback_flow(cur_gray, ref_gray, levels=5,
-                                   finest_level=1, upsample=not half)
+                                   finest_level=finest, upsample=(s == 1))
     mask, _ = mahalanobis_mask(cur_depth, ref_depth, flow, res.T, sem_mask,
                                cfg, cfg.geomask.use_otsu,
                                ref_gray=cur_gray, cur_gray=ref_gray,
-                               flow_is_half=half)
+                               flow_factor=s)
     pose_ok = res.n_inliers >= cfg.geomask.min_matches
-    refined = jnp.where(pose_ok, mask, sem_mask)
-    return feats, refined
+    return jnp.where(pose_ok, mask, sem_mask)
 
 
 class GeoMaskMaker:

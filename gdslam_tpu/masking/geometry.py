@@ -229,6 +229,45 @@ def combine_masks(sem_mask: jnp.ndarray, geo_dynamic: jnp.ndarray) -> jnp.ndarra
     return jnp.minimum(sem_mask, 1.0 - geo_dynamic.astype(jnp.float32))
 
 
+def correction_dynamic_mask(db: GeometryDB, cur_depth: jnp.ndarray,
+                            T_cw: jnp.ndarray, cfg: SlamConfig) -> jnp.ndarray:
+    """ExtractDynPoints + DepthRegionGrowing as one unit: the [H, W] bool
+    dynamic mask of GeometricModelCorrection (Geometry.cc:29-40).
+
+    At production resolutions (>=240 rows) the whole stage runs on the HALF
+    grid — 5 dense per-reference reprojections + a 64-iteration flood fill
+    were ~60% of the fused geometry frame at 480x640 — with the seed/grow
+    thresholds unchanged (they are metric) and the grown mask upsampled at
+    the end (consumers are keypoint culling + blob fusion, insensitive to
+    1-px boundary quanta, exactly like the half-res Mahalanobis masker)."""
+    import dataclasses
+    cam = cfg.camera
+    if cam.height < 240:
+        seeds = extract_dynamic_seeds(db, cur_depth, T_cw, cfg)
+        dil = max(int(round(cfg.geometry.dilation_px * cam.width / 640.0)), 2)
+        return depth_region_growing(
+            seeds, cur_depth, cfg.geometry.region_growing_threshold, 64, dil)
+    Hf, Wf = cam.height, cam.width
+    H2, W2 = (Hf + 1) // 2, (Wf + 1) // 2
+    # Half grid: pixel (vh, uh) covers full-res (2vh, 2uh), so intrinsics
+    # simply halve (see geomask.mahalanobis_mask for the derivation).
+    cam_h = dataclasses.replace(cam, fx=cam.fx / 2, fy=cam.fy / 2,
+                                cx=cam.cx / 2, cy=cam.cy / 2,
+                                width=W2, height=H2)
+    cfg_h = dataclasses.replace(cfg, camera=cam_h)
+    # nearest-subsample depths: never average across discontinuities
+    db_h = db._replace(gray=db.gray[:, ::2, ::2],
+                       depth=db.depth[:, ::2, ::2],
+                       mask=db.mask[:, ::2, ::2],
+                       rgb=db.rgb[:, ::2, ::2])
+    d_h = cur_depth[::2, ::2]
+    seeds = extract_dynamic_seeds(db_h, d_h, T_cw, cfg_h)
+    dil = max(int(round(cfg.geometry.dilation_px * cam.width / 640.0 / 2)), 2)
+    grown = depth_region_growing(
+        seeds, d_h, cfg.geometry.region_growing_threshold, 40, dil)
+    return jnp.repeat(jnp.repeat(grown, 2, 0), 2, 1)[:Hf, :Wf]
+
+
 @partial(jax.jit, static_argnums=(5,))
 def inpaint(db: GeometryDB, cur_rgb, cur_depth, cur_mask, T_cw,
             cfg: SlamConfig):
@@ -346,14 +385,7 @@ class Geometry:
         static mask for the current frame."""
         if not bool(jnp.any(self.db.valid)):
             return sem_mask
-        seeds = extract_dynamic_seeds(self.db, cur_depth, T_cw, self.cfg)
-        # The reference's 15 px dilation assumes 640-px-wide frames
-        # (Geometry.cc:434-439); scale with resolution.
-        dil = max(int(round(self.cfg.geometry.dilation_px *
-                            self.cfg.camera.width / 640.0)), 2)
-        grown = depth_region_growing(
-            seeds, cur_depth, self.cfg.geometry.region_growing_threshold,
-            64, dil)
+        grown = correction_dynamic_mask(self.db, cur_depth, T_cw, self.cfg)
         return combine_masks(sem_mask, grown)
 
     def inpaint_frames(self, cur_rgb, cur_depth, cur_mask, T_cw):

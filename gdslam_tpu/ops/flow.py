@@ -34,7 +34,11 @@ def _poly_exp_filters(n: int, sigma: float):
     W = np.diag(w.reshape(-1))
     M = np.linalg.solve(B.T @ W @ B, B.T @ W)      # [6, k*k]
     k = 2 * n + 1
-    return jnp.asarray(M.reshape(6, k, k), jnp.float32)
+    # numpy, NOT jnp: this is a module-level constant, and flow.py can be
+    # first imported INSIDE a trace (device_track_step lazily imports
+    # geomask when the GD ring is active) — a jnp constant created there
+    # becomes a leaked tracer (tests/test_no_hoisted_consts.py).
+    return np.asarray(M.reshape(6, k, k), np.float32)
 
 
 _POLY_FILTERS = _poly_exp_filters(2, 1.2)          # poly_n=5 -> radius 2

@@ -52,6 +52,25 @@ def _depth_to_meters(d: jnp.ndarray, scale: float) -> jnp.ndarray:
     return d.astype(jnp.float32) * scale
 
 
+@partial(jax.jit, static_argnums=(11, 12))
+def _gd_track_program_packed(arena, last, vel, has_vel, ref_kf, temporal,
+                             packed, sem_mask, ref_gray, ref_depth,
+                             ref_feats, cfg: SlamConfig, rgb_order: bool,
+                             frame_id=0):
+    """GD frame on a PACKED host frame: [H, 3W] uint8 = gray | depth_lo |
+    depth_hi planes side by side. One host->device buffer instead of two —
+    each transfer pays a per-buffer tunnel cost, and the 0.9 MB/frame
+    upload is the host-fed GD path's wall (measured: device-fed 66 fps vs
+    two-buffer host-fed 41 fps on the tunneled v5e)."""
+    W = cfg.camera.width
+    gray = packed[:, :W].astype(jnp.float32)
+    depth_raw = (packed[:, W:2 * W].astype(jnp.uint16) |
+                 (packed[:, 2 * W:3 * W].astype(jnp.uint16) << 8))
+    return _gd_track_program(arena, last, vel, has_vel, ref_kf, temporal,
+                             gray, depth_raw, sem_mask, ref_gray, ref_depth,
+                             ref_feats, cfg, rgb_order, frame_id)
+
+
 @partial(jax.jit, static_argnums=(12, 13))
 def _gd_track_program(arena, last, vel, has_vel, ref_kf, temporal,
                       rgb, depth_raw, sem_mask, ref_gray, ref_depth,
@@ -87,6 +106,77 @@ def _gd_track_program(arena, last, vel, has_vel, ref_kf, temporal,
     return feats, refined, gray, depth, core_out
 
 
+@partial(jax.jit, static_argnums=(10, 11))
+def _geometry_track_program(arena, last, vel, has_vel, ref_kf, temporal,
+                            rgb, depth_raw, sem_mask, db, cfg: SlamConfig,
+                            rgb_order: bool, db_has=False):
+    """The ENTIRE DynaSLAM geometry frame as ONE device program — the
+    reference's 4-arg GrabImageRGBD body (Tracking.cc:331-369): LightTrack
+    pose pre-pass -> GeometricModelCorrection (multi-view dynamic seeds +
+    depth region growing + mask fusion) -> Frame rebuilt with the refined
+    mask -> Track. The previous host orchestration dispatched ~5 programs
+    and synchronized TWICE per frame (light_track's int(n_inl) and the
+    DB-validity check), costing ~2x28 ms of tunnel round trips — measured
+    8.6 fps. One dispatch + the pipelined commit protocol removes every
+    per-frame sync.
+
+    db_has: host-tracked "geometry ring DB has at least one entry" (the
+    host performs every insert, so no device sync is needed); when False
+    — or when LightTrack finds <10 inliers (Tracking.cc:660-664 refuses
+    an unreliable pre-pose) — the correction is skipped and the semantic
+    mask passes through unchanged.
+
+    Returns (refined_mask, gray, depth_m, core_out)."""
+    from gdslam_tpu.frontend import extractor
+    from gdslam_tpu.frontend.frame import build_frame
+    from gdslam_tpu.masking import geometry as geom
+    from gdslam_tpu.system.tracking import (track_frame_core,
+                                            track_motion_model)
+    from gdslam_tpu.core import camera as cam_ops
+    from gdslam_tpu.core import lie
+    cam = cfg.camera
+    if rgb.ndim == 2:
+        gray = rgb.astype(jnp.float32)
+    else:
+        gray = _gray_kernel(rgb, rgb_order)
+    scale = (1.0 / cam.depth_map_factor
+             if depth_raw.dtype == jnp.uint16 else 1.0)
+    depth = depth_raw.astype(jnp.float32) * scale
+    feats = extractor.extract(gray, cfg.orb, cam.height, cam.width)
+    frame0 = build_frame(feats, depth, sem_mask, cam)
+    # LightTrack (Tracking.cc:654-760): pure pose pre-pass on the
+    # semantic-masked frame; no tracker state is touched.
+    lf = last.frame
+    pc = cam_ops.backproject(lf.uv, lf.depth, cam)
+    pw_depth = lie.se3_apply(lie.se3_inverse(last.T_cw), pc)
+    has_pt = last.assoc >= 0
+    pts_w = jnp.where(has_pt[:, None],
+                      arena.pt_pos[jnp.where(has_pt, last.assoc, 0)],
+                      pw_depth)
+    T_pred = jnp.where(has_vel, vel @ last.T_cw, last.T_cw)
+    T_lt, a_lt, n_lt, _ = track_motion_model(last, pts_w, frame0, T_pred,
+                                             cfg)
+
+    def wide_retry(_):
+        return track_motion_model(last, pts_w, frame0, last.T_cw, cfg,
+                                  radius_px=30.0)
+
+    T_lt, a_lt, n_lt, _ = jax.lax.cond(
+        n_lt < 10, wide_retry,
+        lambda _: (T_lt, a_lt, n_lt, jnp.asarray(0, n_lt.dtype)), None)
+    # GeometricModelCorrection (Geometry.cc:29-40) under the provisional
+    # pose; gated by LightTrack success + DB non-emptiness.
+    grown = geom.correction_dynamic_mask(db, depth, T_lt, cfg)
+    ok = (n_lt >= 10) & jnp.asarray(db_has)
+    refined = jnp.where(ok, geom.combine_masks(sem_mask, grown), sem_mask)
+    # Keypoint-level re-cull over the SAME features (the reference
+    # re-extracts only because its masking is image-level, Tracking.cc:312).
+    frame = build_frame(feats, depth, refined, cam)
+    core_out = track_frame_core(arena, last, vel, has_vel, frame, cfg,
+                                ref_kf, temporal)
+    return refined, gray, depth, core_out
+
+
 class System:
     """TPU-native SLAM system with the reference's System API surface
     (System::TrackRGBD System.cc:157-312, SaveTrajectoryTUM :418-476,
@@ -105,6 +195,16 @@ class System:
         self._geo = None  # lazily-constructed GeoMaskMaker (TrackRGBD_GD)
         self._geometry = None  # lazily-constructed Geometry (DynaSLAM path)
         self._last_refined_mask = None
+        # Geometry ring-DB bookkeeping (GeometricModelUpdateDB,
+        # Geometry.cc:48-53): with a pipelined tracker the keyframe decision
+        # lags the frame by up to commit_every frames, so candidate frames
+        # are cached (device arrays — cheap references) and inserted into
+        # the DB when their keyframe materializes at commit time, with the
+        # arena's refined pose.
+        self._geo_db_count = 0      # host mirror of #inserted DB frames
+        self._geo_kf_seen = 0       # keyframes already reconciled
+        self._geo_frame_cache = {}  # timestamp -> (gray, depth, mask, rgb)
+        self._geo_pending_frame = None
         self._ones_mask = None  # cached all-static mask (device)
         self._vocab = None
         if vocabulary is not None:
@@ -160,7 +260,8 @@ class System:
         rgb_j = jnp.asarray(rgb, jnp.float32)
         if rgb_j.ndim == 2:
             rgb_j = jnp.broadcast_to(rgb_j[..., None], rgb_j.shape + (3,))
-        self._update_geometry_db(gray, depth, self._last_refined_mask, rgb_j)
+        self._geo_note_frame(rgb_j)
+        self._geo_sync_db()
         return T
 
     def track_rgbd_geom(self, rgb: np.ndarray, depth: np.ndarray,
@@ -178,21 +279,42 @@ class System:
         T, refined = self._track_rgbd_geometry(gray, depth, mask, timestamp)
         rgb_out, depth_out = self._geometry.inpaint_frames(
             rgb_j, depth, refined, jnp.asarray(np.asarray(T)))
-        self._update_geometry_db(gray, depth, refined, rgb_j)
+        self._geo_note_frame(rgb_j)
+        self._geo_sync_db()
         return T, np.asarray(rgb_out), np.asarray(depth_out), \
             np.asarray(refined)
 
     def _track_rgbd_geometry(self, gray, depth, sem_mask, timestamp):
         """Shared body of the DynaSLAM RGB-D entry point: LightTrack ->
         GeometricModelCorrection -> masked Frame -> Track (Tracking.cc:
-        271-329, 301-312). Returns (T_cw, refined_mask)."""
+        271-329, 301-312). Returns (T_cw, refined_mask).
+
+        With a pipelined tracker in steady state the whole frame runs as
+        ONE device dispatch (_geometry_track_program); otherwise the staged
+        host orchestration below is used (init frames, non-pipelined
+        trackers, tests)."""
         from gdslam_tpu.frontend import extractor
         from gdslam_tpu.frontend.frame import build_frame
+        from gdslam_tpu.system.tracking import TrackState
         if self._geometry is None:
             from gdslam_tpu.masking.geometry import Geometry
             self._geometry = Geometry(self.cfg)
         cfg = self.cfg
         cam = cfg.camera
+        tr = self.tracker
+        if tr.pipeline and tr.last is not None and tr.state == TrackState.OK:
+            has_vel = tr.velocity is not None
+            vel = tr.velocity if has_vel else tr._eye4
+            refined, gray_d, depth_m, core_out = _geometry_track_program(
+                tr.arena, tr.last, vel, tr._jbool(has_vel), tr._ref_kf_dev,
+                tr._jbool(not tr.mapping_enabled), gray, depth, sem_mask,
+                self._geometry.db, cfg, self.cfg.camera.rgb == 1,
+                tr._jbool(self._geo_db_count > 0))
+            T = tr.adopt_dispatched(core_out, timestamp)
+            self._last_refined_mask = refined
+            self._geo_pending_frame = (float(timestamp), gray_d, depth_m,
+                                       refined)
+            return T, refined
         feats = extractor.extract(gray, cfg.orb, cam.height, cam.width)
         frame = build_frame(feats, depth, sem_mask, cam)
         refined = sem_mask
@@ -206,7 +328,41 @@ class System:
             frame = build_frame(feats, depth, refined, cam)
         T = self.tracker._process_built_frame(frame, timestamp)
         self._last_refined_mask = refined
+        self._geo_pending_frame = (float(timestamp), gray, depth, refined)
         return T, refined
+
+    def _geo_note_frame(self, rgb):
+        """Attach the color plane to the frame recorded by
+        _track_rgbd_geometry and move it into the keyframe-candidate cache."""
+        if self._geo_pending_frame is None:
+            return
+        ts, gray, depth, mask = self._geo_pending_frame
+        self._geo_pending_frame = None
+        self._geo_frame_cache[ts] = (gray, depth, mask, rgb)
+        if len(self._geo_frame_cache) > 24:
+            for k in list(self._geo_frame_cache)[:-24]:
+                del self._geo_frame_cache[k]
+
+    def _geo_sync_db(self):
+        """Insert cached frames whose keyframe has materialized (possibly a
+        few frames late under the pipelined commit protocol) into the
+        geometry ring DB with the keyframe's arena pose."""
+        if self._geometry is None:
+            return
+        from gdslam_tpu.masking.geometry import db_insert
+        tr = self.tracker
+        kts = tr.kf_timestamps
+        if len(kts) < self._geo_kf_seen:
+            self._geo_kf_seen = 0   # tracker reset/compaction shrank the list
+        for slot in range(self._geo_kf_seen, len(kts)):
+            entry = self._geo_frame_cache.pop(kts[slot], None)
+            if entry is not None:
+                gray, depth, mask, rgb = entry
+                self._geometry.db = db_insert(
+                    self._geometry.db, gray, depth, mask, rgb,
+                    tr.arena.kf_pose[slot])
+                self._geo_db_count += 1
+        self._geo_kf_seen = len(kts)
 
     def _update_geometry_db(self, gray, depth, mask, rgb):
         """GeometricModelUpdateDB (Tracking.cc:262, 326 -> Geometry.cc:48-53):
@@ -220,6 +376,8 @@ class System:
                                  tr.last.T_cw if tr.last is not None
                                  else jnp.eye(4),
                                  is_keyframe=is_kf)
+        if is_kf:
+            self._geo_db_count += 1
 
     def track_rgbd_gd(self, rgb: np.ndarray, depth: np.ndarray,
                       mask: Optional[np.ndarray], timestamp: float,
@@ -261,11 +419,29 @@ class System:
                 sem = jnp.asarray(mask, jnp.float32)
             has_vel = tr.velocity is not None
             vel = tr.velocity if has_vel else tr._eye4
-            feats, refined, gray, depth_m, core_out = _gd_track_program(
-                tr.arena, tr.last, vel, tr._jbool(has_vel), tr._ref_kf_dev,
-                tr._jbool(not tr.mapping_enabled), jnp.asarray(rgb),
-                jnp.asarray(depth), sem, ref_gray, ref_depth, ref_feats,
-                self.cfg, self.cfg.camera.rgb == 1, tr.frame_id)
+            if (isinstance(rgb, np.ndarray) and rgb.dtype == np.uint8
+                    and rgb.ndim == 2 and isinstance(depth, np.ndarray)
+                    and depth.dtype == np.uint16):
+                # host uint8-gray + uint16-depth (the CLI contract): ship
+                # BOTH planes in ONE [H, 3W] uint8 buffer — per-buffer
+                # tunnel overhead made two transfers the host-fed wall
+                packed = np.concatenate(
+                    [rgb, (depth & 0xff).astype(np.uint8),
+                     (depth >> 8).astype(np.uint8)], axis=1)
+                feats, refined, gray, depth_m, core_out = \
+                    _gd_track_program_packed(
+                        tr.arena, tr.last, vel, tr._jbool(has_vel),
+                        tr._ref_kf_dev, tr._jbool(not tr.mapping_enabled),
+                        jnp.asarray(packed), sem, ref_gray, ref_depth,
+                        ref_feats, self.cfg, self.cfg.camera.rgb == 1,
+                        tr.frame_id)
+            else:
+                feats, refined, gray, depth_m, core_out = _gd_track_program(
+                    tr.arena, tr.last, vel, tr._jbool(has_vel),
+                    tr._ref_kf_dev, tr._jbool(not tr.mapping_enabled),
+                    jnp.asarray(rgb), jnp.asarray(depth), sem, ref_gray,
+                    ref_depth, ref_feats, self.cfg,
+                    self.cfg.camera.rgb == 1, tr.frame_id)
             geo.push(gray, depth_m, feats)
             T = tr.adopt_dispatched(core_out, timestamp)
             # refined stays a device array (see below).
@@ -336,6 +512,10 @@ class System:
         self._geo = None
         self._geometry = None
         self._last_refined_mask = None
+        self._geo_db_count = 0
+        self._geo_kf_seen = 0
+        self._geo_frame_cache = {}
+        self._geo_pending_frame = None
 
     def shutdown(self):
         """System::Shutdown (System.cc:397-416): drain the in-flight
