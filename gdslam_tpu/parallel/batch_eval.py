@@ -31,6 +31,7 @@ from gdslam_tpu.backend import map_arena as ma
 from gdslam_tpu.config import SlamConfig
 from gdslam_tpu.frontend import extractor
 from gdslam_tpu.frontend.frame import Frame, build_frame
+from gdslam_tpu.masking.geomask import gd_step_core
 from gdslam_tpu.system import tracking as trk
 
 
@@ -39,6 +40,18 @@ def make_mesh(n_devices: int | None = None, axis: str = "seq") -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(devs, (axis,))
+
+
+class GdRing(NamedTuple):
+    """Per-slot GD frame ring: the most recent R frames (oldest first) with
+    their cached extractions, so gd_step_core can pair frame t with t-R
+    (GeoMaskMaker's inter_frame_size pairing, GeoMaskMaker.cc:409-429)
+    entirely on device."""
+
+    gray: jnp.ndarray    # [R, H, W]
+    depth: jnp.ndarray   # [R, H, W]
+    feats: extractor.Features  # [R, N, ...]-leading stacked pytree
+    count: jnp.ndarray   # int32: frames pushed so far
 
 
 class SeqState(NamedTuple):
@@ -60,6 +73,7 @@ class SeqState(NamedTuple):
     ref_kf_matches: jnp.ndarray   # int32
     frames_since_kf: jnp.ndarray  # int32
     frame_idx: jnp.ndarray        # int32 (doubles as the device timestamp)
+    gd: GdRing | None = None      # present when the slot runs GD masking
 
 
 def _empty_frame(n: int) -> Frame:
@@ -70,9 +84,25 @@ def _empty_frame(n: int) -> Frame:
                  valid=jnp.zeros(n, bool))
 
 
+def _empty_feats(n: int) -> extractor.Features:
+    return extractor.Features(
+        uv=jnp.zeros((n, 2)), response=jnp.zeros(n), angle=jnp.zeros(n),
+        level=jnp.zeros(n, jnp.int32), desc=jnp.zeros((n, 32), jnp.uint8),
+        valid=jnp.zeros(n, bool))
+
+
 def init_seq_state(cfg: SlamConfig, kmax: int = 64,
-                   pmax: int = 8192) -> SeqState:
+                   pmax: int = 8192, use_gd: bool = False) -> SeqState:
     n = cfg.orb.n_features
+    gd = None
+    if use_gd:
+        R = cfg.geomask.inter_frame_size
+        H, W = cfg.camera.height, cfg.camera.width
+        gd = GdRing(
+            gray=jnp.zeros((R, H, W)), depth=jnp.zeros((R, H, W)),
+            feats=jax.tree.map(lambda x: jnp.repeat(x[None], R, axis=0),
+                               _empty_feats(n)),
+            count=jnp.asarray(0, jnp.int32))
     return SeqState(
         arena=ma.new_arena(kmax, pmax, n),
         last_frame=_empty_frame(n),
@@ -86,6 +116,7 @@ def init_seq_state(cfg: SlamConfig, kmax: int = 64,
         ref_kf_matches=jnp.asarray(0, jnp.int32),
         frames_since_kf=jnp.asarray(0, jnp.int32),
         frame_idx=jnp.asarray(0, jnp.int32),
+        gd=gd,
     )
 
 
@@ -166,10 +197,38 @@ def device_track_step(state: SeqState, gray: jnp.ndarray, depth: jnp.ndarray,
     (state==LOST -> Relocalization ONLY, Tracking.cc:439-447,1670-1832) —
     the full per-slot system with no host arbitration.
 
+    With a GdRing in the state (init_seq_state(use_gd=True)), the slot
+    additionally runs the GD dense-scene-flow masker per frame — frame t
+    paired with the ring's t-R entry, gd_step_core's pose RANSAC + flow +
+    Mahalanobis map refining `mask` before tracking (the per-slot analogue
+    of TrackRGBD_GD) — realizing BASELINE config 5 on DYNAMIC sequences.
+
     Returns (new_state, stats [4] int32 = n1, n_inl, n_kf, n_pt).
     """
     cam = cfg.camera
     feats = extractor.extract(gray, cfg.orb, cam.height, cam.width)
+    if state.gd is not None:
+        # module-level import (below) — importing inside the traced function
+        # would run geomask/flow module init under the trace, where any
+        # module-level jnp constant becomes a leaked tracer
+        ring = state.gd
+        warm = ring.count >= ring.gray.shape[0]
+        key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_idx)
+        ref_feats = jax.tree.map(lambda x: x[0], ring.feats)
+
+        def run_gd(_):
+            return gd_step_core(feats, gray, depth, mask, ring.gray[0],
+                                ring.depth[0], ref_feats, key, cfg)
+
+        # warm-up frames pass the semantic mask through (cc:171-175)
+        mask = jax.lax.cond(warm, run_gd, lambda _: mask, None)
+        state = state._replace(gd=GdRing(
+            gray=jnp.concatenate([ring.gray[1:], gray[None]]),
+            depth=jnp.concatenate([ring.depth[1:], depth[None]]),
+            feats=jax.tree.map(
+                lambda a, b: jnp.concatenate([a[1:], b[None]]),
+                ring.feats, feats),
+            count=ring.count + 1))
     frame = build_frame(feats, depth, mask, cam)
     ts = state.frame_idx.astype(jnp.float32)
 
@@ -301,6 +360,12 @@ def batched_track_step(cfg: SlamConfig, height: int, width: int, mesh: Mesh,
     only collective, a `psum` (SURVEY §5 'distributed communication
     backend'). With local_batch == 1 the per-device step keeps its `lax.cond`
     branches un-vmapped (real branches, no select lowering).
+
+    Per-slot dynamic masking: build the states with
+    init_states(..., use_gd=True) — the GdRing in the state switches
+    device_track_step into the GD path (semantic input mask stays all-ones;
+    the scene-flow masker supplies the dynamic suppression, matching the
+    GD CLI default of mask=None).
     """
     n_dev = mesh.devices.size
     if local_batch > 1:
@@ -341,7 +406,7 @@ def batched_track_step(cfg: SlamConfig, height: int, width: int, mesh: Mesh,
 
 
 def init_states(batch: int, cfg: SlamConfig, kmax: int = 64,
-                pmax: int = 8192) -> SeqState:
+                pmax: int = 8192, use_gd: bool = False) -> SeqState:
     """[batch]-leading SeqState (tile of the empty per-sequence state)."""
-    tmpl = init_seq_state(cfg, kmax=kmax, pmax=pmax)
+    tmpl = init_seq_state(cfg, kmax=kmax, pmax=pmax, use_gd=use_gd)
     return jax.tree.map(lambda x: jnp.repeat(x[None], batch, axis=0), tmpl)

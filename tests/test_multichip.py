@@ -142,6 +142,62 @@ def test_lost_slot_relocalizes_others_unaffected():
         assert int(pert.arena.n_pt[b]) == int(clean.arena.n_pt[b])
 
 
+def test_batched_gd_dynamic_sequences():
+    """BASELINE config 5 on DYNAMIC sequences: every mesh slot runs the
+    FULL GD tracker (per-slot 5-frame ring + gd_step_core scene-flow
+    masking) under shard_map, and each slot's result equals an independent
+    single-device run of the identical per-sequence GD program."""
+    n_frames = 9
+    grays, depths = [], []
+    for b in range(N_SEQ):
+        gs, ds = [], []
+        for t in range(n_frames):
+            f = synthetic.render_frame(2 * b + t, CAM, with_dynamic=True)
+            gs.append(f.gray)
+            ds.append(f.depth)
+        grays.append(jnp.stack(gs))
+        depths.append(jnp.stack(ds))
+    grays, depths = jnp.stack(grays), jnp.stack(depths)
+
+    mesh = batch_eval.make_mesh(N_SEQ)
+    from jax.sharding import PartitionSpec as P
+    ones = jnp.ones((H, W))
+
+    def step(states, gs, ds):
+        state1 = jax.tree.map(lambda x: x[0], states)
+        new1, stats = batch_eval.device_track_step(state1, gs[0], ds[0],
+                                                   ones, CFG)
+        return jax.tree.map(lambda x: x[None], new1), stats[1][None]
+
+    spec = P("seq")
+    sharded = jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=(spec, spec), check_vma=False))
+
+    states = batch_eval.init_states(N_SEQ, CFG, kmax=KMAX, pmax=PMAX,
+                                    use_gd=True)
+    for t in range(n_frames):
+        states, _ = sharded(states, grays[:, t], depths[:, t])
+
+    assert bool(jnp.all(states.initialized))
+    assert not bool(jnp.any(states.lost))
+    # the GD ring advanced past warm-up in every slot
+    assert int(jnp.min(states.gd.count)) == n_frames
+
+    # per-slot parity with independent single-device GD runs
+    step1 = jax.jit(lambda s, g, d: batch_eval.device_track_step(
+        s, g, d, ones, CFG))
+    for b in range(0, N_SEQ, 3):
+        st = batch_eval.init_seq_state(CFG, kmax=KMAX, pmax=PMAX,
+                                       use_gd=True)
+        for t in range(n_frames):
+            st, _ = step1(st, grays[b, t], depths[b, t])
+        np.testing.assert_allclose(
+            np.asarray(states.last_T_cw[b]), np.asarray(st.last_T_cw),
+            atol=5e-3, err_msg=f"slot {b} GD pose diverged")
+        assert int(states.arena.n_kf[b]) == int(st.arena.n_kf)
+
+
 def test_single_sequence_program_is_collective_free():
     """The per-sequence step must compile without collectives (SURVEY §5:
     the distributed layer adds psum only in the batched wrapper)."""
