@@ -42,12 +42,26 @@ def _node_offset(k: int, level: int) -> int:
     return sum(k ** (l + 1) for l in range(level))
 
 
-def train(descriptors: np.ndarray, k: int = 10, levels: int = 3,
-          iters: int = 8, seed: int = 0) -> Vocabulary:
-    """Hierarchical binary k-medians (host orchestration, device math).
+_POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(1).astype(np.int32)
 
-    descriptors: [M, 32] uint8 training set.
-    """
+
+def _ham_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[m, 32] x [k, 32] uint8 -> [m, k] Hamming distances (numpy LUT)."""
+    return _POPCNT[np.bitwise_xor(a[:, None, :], b[None, :, :])].sum(-1)
+
+
+def train(descriptors: np.ndarray, k: int = 10, levels: int = 3,
+          iters: int = 8, seed: int = 0,
+          max_per_node: int = 16384) -> Vocabulary:
+    """Hierarchical binary k-medians.
+
+    descriptors: [M, 32] uint8 training set. Pure numpy: the tree has
+    sum(k^l) nodes (11,110 at k=10 L=4) and a device dispatch per k-medians
+    iteration made large trainings dispatch-bound (hours over the tunneled
+    TPU); popcount-LUT numpy runs the full 10k-leaf training in tens of
+    seconds. Each node's medians are fit on at most `max_per_node` sampled
+    rows (assignment for SPLITTING always uses every row)."""
     rng = np.random.default_rng(seed)
     desc = np.asarray(descriptors, np.uint8)
 
@@ -56,26 +70,26 @@ def train(descriptors: np.ndarray, k: int = 10, levels: int = 3,
         m = data.shape[0]
         if m == 0:
             return np.zeros((k, 32), np.uint8)
-        init = data[rng.choice(m, size=min(k, m), replace=False)]
+        fit = data if m <= max_per_node else \
+            data[rng.choice(m, size=max_per_node, replace=False)]
+        init = fit[rng.choice(fit.shape[0], size=min(k, fit.shape[0]),
+                              replace=False)]
         centers = np.zeros((k, 32), np.uint8)
         centers[:init.shape[0]] = init
-        d = jnp.asarray(data)
+        bits = np.unpackbits(fit, axis=1).astype(np.int32)   # [m, 256]
         for _ in range(iters):
-            pm_c = orb_ops.descriptors_pm1(jnp.asarray(centers))
-            pm_d = orb_ops.descriptors_pm1(d)
-            assign = jnp.argmin(hamming.hamming_matrix(pm_d, pm_c), axis=1)
-            bits = orb_ops.unpack_bits(d).astype(jnp.int32)      # [m, 256]
-            onehot = jax.nn.one_hot(assign, k, dtype=jnp.int32)  # [m, k]
-            votes = onehot.T @ bits                               # [k, 256]
-            counts = jnp.sum(onehot, axis=0)[:, None]
+            assign = np.argmin(_ham_np(fit, centers), axis=1)
+            votes = np.zeros((k, 256), np.int64)
+            np.add.at(votes, assign, bits)
+            counts = np.bincount(assign, minlength=k)[:, None]
             maj = votes * 2 > counts
-            new_centers = np.asarray(orb_ops.pack_bits(maj))
-            empty = np.asarray(counts[:, 0] == 0)
+            new_centers = np.packbits(maj.astype(np.uint8), axis=1)
+            empty = counts[:, 0] == 0
             if empty.any():
-                new_centers[empty] = data[rng.choice(m, size=int(empty.sum()))]
+                new_centers[empty] = fit[rng.choice(fit.shape[0],
+                                                    size=int(empty.sum()))]
             if (new_centers == centers).all():
-                centers = new_centers
-                break
+                return new_centers
             centers = new_centers
         return centers
 
@@ -90,9 +104,7 @@ def train(descriptors: np.ndarray, k: int = 10, levels: int = 3,
             lvl_centers[gi] = c
             if lv < levels - 1:
                 if g.shape[0] > 0:
-                    pm_c = orb_ops.descriptors_pm1(jnp.asarray(c))
-                    pm_g = orb_ops.descriptors_pm1(jnp.asarray(g))
-                    a = np.asarray(jnp.argmin(hamming.hamming_matrix(pm_g, pm_c), 1))
+                    a = np.argmin(_ham_np(g, c), axis=1)
                 else:
                     a = np.zeros(0, np.int64)
                 for ci in range(k):
@@ -213,22 +225,45 @@ def load(path: str) -> Vocabulary:
                       levels=int(z["levels"]))
 
 
-def train_from_synthetic(k: int = 10, levels: int = 3, n_frames: int = 20,
-                         seed: int = 0) -> Vocabulary:
-    """Train a default vocabulary from the synthetic sequence generator.
+def random_pose(rng: np.random.Generator) -> np.ndarray:
+    """A random viewpoint inside the synthetic room (full yaw coverage, mild
+    pitch/roll) — wide pose diversity for vocabulary training and
+    place-recognition tests."""
+    from gdslam_tpu.core import lie as _lie
+    t = np.asarray([rng.uniform(-1.0, 1.0), rng.uniform(-0.6, 0.6),
+                    rng.uniform(-0.9, 0.9)])
+    rot = np.asarray([rng.uniform(-0.25, 0.25),
+                      rng.uniform(0.0, 2 * np.pi),
+                      rng.uniform(-0.15, 0.15)])
+    R = np.asarray(_lie.se3_exp(jnp.concatenate(
+        [jnp.zeros(3), jnp.asarray(rot, np.float32)])))[:3, :3]
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t            # camera stays inside the room box
+    return T
 
-    (The reference's ORBvoc.txt ships with neither repo; a framework-trained
-    vocabulary on in-framework descriptors is the consistent replacement.)
-    """
+
+def train_from_synthetic(k: int = 10, levels: int = 4, n_frames: int = 150,
+                         seed: int = 0) -> Vocabulary:
+    """Train a default vocabulary from the synthetic scene at DIVERSE random
+    viewpoints (full yaw coverage of the enclosed room — a fixed forward
+    trajectory samples only one texture region and the vocabulary aliases).
+
+    k=10, levels=4 -> 10,000 leaves: small enough to ship/train in-repo,
+    large enough that distinct scenes map to near-disjoint word sets (the
+    reference's external ORBvoc.txt is k=10 L=6 ~ 1M leaves,
+    TemplatedVocabulary.h:1338; neither repo ships it)."""
     from gdslam_tpu.config import CameraConfig, OrbConfig
     from gdslam_tpu.frontend import extractor
     from gdslam_tpu.io import synthetic
 
     cam = CameraConfig()
     cfg = OrbConfig()
+    rng = np.random.default_rng(seed)
     descs = []
     for i in range(n_frames):
-        fr = synthetic.render_frame(i * 7, cam, with_dynamic=False)
+        T = jnp.asarray(random_pose(rng), jnp.float32)
+        fr = synthetic.render(T, cam, False, 30.0, frame_idx=i)
         f = extractor.extract(fr.gray, cfg, cam.height, cam.width)
         descs.append(np.asarray(f.desc[np.asarray(f.valid)]))
     data = np.concatenate(descs, axis=0)
@@ -236,7 +271,8 @@ def train_from_synthetic(k: int = 10, levels: int = 3, n_frames: int = 20,
 
 
 def default_vocabulary() -> Vocabulary:
-    """Load (or train + cache) the shipped default vocabulary."""
+    """Load (or train + cache) the shipped default vocabulary (10k leaves;
+    see tools/train_vocab.py to retrain)."""
     import os
     path = os.path.join(os.path.dirname(__file__), "..", "data",
                         "vocab_default.npz")
