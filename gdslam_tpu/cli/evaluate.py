@@ -7,7 +7,8 @@ loop is one entry point:
 
     python -m gdslam_tpu.cli.evaluate SEQ_DIR ASSOC GROUNDTRUTH \
         [--mode plain|geometry|gd] [--settings TUM.yaml] [--masks DIR] \
-        [--ref-masks DIR] [--vocab default|none|PATH] [--max-frames N]
+        [--ref-masks DIR] [--vocab default|none|PATH] [--max-frames N] \
+        [--segmenter flax[:WEIGHTS]]
 
 Runs the selected pipeline over the sequence, associates the estimated
 trajectory to ground truth by timestamp (nearest neighbour within 20 ms,
@@ -76,6 +77,9 @@ def main(argv=None):
     ap.add_argument("--ref-masks", default=None,
                     help="reference dynamic-mask dir ({ts}.png) for mask IoU")
     ap.add_argument("--vocab", default="none")
+    ap.add_argument("--segmenter", default=None,
+                    help="live segmenter spec: flax[:weights.npz|:coco.h5] "
+                         "(runs on every mask-cache miss, MaskNet.cc:86-93)")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--rpe-delta", type=int, default=30,
                     help="RPE frame spacing (default 30 = 1 s at 30 fps)")
@@ -101,9 +105,15 @@ def main(argv=None):
         vocab = voc.load(args.vocab)
 
     segmenter = None
-    if args.masks:
+    if args.masks or args.segmenter:
         from gdslam_tpu.masking.masknet import SegmentDynObject
-        segmenter = SegmentDynObject(None, cache_dir=args.masks)
+        net = None
+        if args.segmenter:
+            from gdslam_tpu.models.maskrcnn import build_segmenter
+            net = build_segmenter(
+                args.segmenter,
+                image_hw=(cfg.camera.height, cfg.camera.width))
+        segmenter = SegmentDynObject(net, cache_dir=args.masks)
 
     slam = System(cfg, Sensor.RGBD, vocabulary=vocab, pipeline=True)
     seq = TumSequence(args.seq_dir, args.assoc, cfg.camera.depth_map_factor)

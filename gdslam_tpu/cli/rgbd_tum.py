@@ -3,7 +3,7 @@
 Usage (positional, mirroring rgbd_tum.cc:30-33):
 
     python -m gdslam_tpu.cli.rgbd_tum VOCAB SETTINGS SEQUENCE_DIR ASSOC \
-        [MASKS_DIR|no_save [OUTPUT_DIR]]
+        [MASKS_DIR|no_save [OUTPUT_DIR]] [--segmenter flax[:WEIGHTS]]
 
 - VOCAB: vocabulary .npz ('default' trains/loads the built-in one; 'none'
   disables loop closing + relocalization)
@@ -12,6 +12,10 @@ Usage (positional, mirroring rgbd_tum.cc:30-33):
   rgbd_tum.cc:99-109; 'no_save' = use the segmenter without caching)
 - OUTPUT_DIR: writes inpainted rgb/depth + refined masks (argc==7 mode,
   rgbd_tum.cc:165-171) and switches tracking to TrackRGBD_GD
+- --segmenter: LIVE Flax Mask R-CNN run on every mask-cache miss (the
+  reference's per-frame MaskNet inference, MaskNet.cc:86-93); WEIGHTS is a
+  save_variables .npz or the reference's mask_rcnn_coco.h5. Fresh masks are
+  written back to MASKS_DIR (unless 'no_save').
 
 Emits CameraTrajectory.txt / KeyFrameTrajectory.txt (rgbd_tum.cc:203-204)
 and prints median/mean tracking time (rgbd_tum.cc:192-200).
@@ -28,6 +32,16 @@ import numpy as np
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    seg_spec = None
+    for i, a in enumerate(list(argv)):
+        if a == "--segmenter" and i + 1 < len(argv):
+            seg_spec = argv[i + 1]
+            argv[i:i + 2] = []
+            break
+        if a.startswith("--segmenter="):
+            seg_spec = a.split("=", 1)[1]
+            argv.remove(a)
+            break
     if len(argv) < 4:
         print(__doc__)
         return 1
@@ -63,7 +77,13 @@ def main(argv=None):
         frames_iter = (seq[i] for i in range(len(seq)))
         print(f"Loaded {len(seq)} frames from {seq_dir}")
 
-    segmenter = SegmentDynObject(None, cache_dir=masks_dir) if masks_dir else None
+    net = None
+    if seg_spec:
+        from gdslam_tpu.models.maskrcnn import build_segmenter
+        net = build_segmenter(seg_spec,
+                              image_hw=(cfg.camera.height, cfg.camera.width))
+    segmenter = SegmentDynObject(net, cache_dir=masks_dir) \
+        if (masks_dir or net is not None) else None
     slam = System(cfg, Sensor.RGBD, vocabulary=vocab, pipeline=True)
     use_gd = output_dir is not None
     if output_dir:

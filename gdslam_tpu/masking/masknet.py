@@ -41,7 +41,8 @@ class SegmentDynObject:
             self.read_only = True
         if segmenter is not None:
             # warm-up on a zero image, mirroring MaskNet.cc:45-48
-            segmenter(np.zeros((480, 640, 3), np.float32))
+            hw = getattr(segmenter, "image_hw", (480, 640))
+            segmenter(np.zeros(hw + (3,), np.float32))
 
     def _cache_path(self, name: str) -> Optional[str]:
         if self.cache_dir is None:
@@ -62,6 +63,18 @@ class SegmentDynObject:
             m = np.asarray(Image.open(path), np.float32)
             return (m > 127).astype(np.float32) if m.max() > 1 else m
         if self.segmenter is None:
+            # The reference ALWAYS has a net to fall back on
+            # (MaskNet.cc:86-93); this bridge may legitimately run
+            # cache-only, but a miss then silently means "no dynamics",
+            # which must be loud, not silent.
+            if not getattr(self, "_warned_miss", False):
+                import warnings
+                warnings.warn(
+                    "SegmentDynObject: mask-cache miss with no live "
+                    "segmenter — returning an all-static mask. Precompute "
+                    "masks into the cache dir or construct with a "
+                    "segmenter (e.g. models.maskrcnn.build_segmenter).")
+                self._warned_miss = True
             return np.zeros(rgb.shape[:2], np.float32)
         mask = np.asarray(self.segmenter(rgb), np.float32)
         if path and not self.read_only:
