@@ -51,7 +51,30 @@ def bench_tracking(frames, cfg):
     return n_frames / (time.perf_counter() - t0), tracker
 
 
+def _mask_quality(refined_masks, frames, idxs):
+    """(recall, iou) of the flagged-dynamic region vs the renderer's
+    ground-truth dyn_mask, averaged over the sampled frames. Computed on
+    frames OUTSIDE the timing windows (materializing a mask costs a full
+    tunnel round trip, which would pollute the fps measurement)."""
+    import numpy as np
+    recalls, ious = [], []
+    for m, k in zip(refined_masks, idxs):
+        dyn_est = np.asarray(m) < 0.5
+        dyn_gt = np.asarray(frames[k].dyn_mask)
+        if dyn_gt.sum() == 0:
+            continue
+        inter = float((dyn_est & dyn_gt).sum())
+        union = float((dyn_est | dyn_gt).sum())
+        recalls.append(inter / dyn_gt.sum())
+        ious.append(inter / union if union else 1.0)
+    return (float(np.mean(recalls)) if recalls else 0.0,
+            float(np.mean(ious)) if ious else 0.0)
+
+
 def bench_gd(frames, cfg):
+    """GD path on a DYNAMIC scene (the masker must do real work), with
+    accuracy guards: ATE RMSE over the run + mask recall/IoU vs the
+    renderer's ground truth on post-window frames."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -75,7 +98,7 @@ def bench_gd(frames, cfg):
            for fr in frames]
     # warm-up: cover every compile path incl. keyframe culling (8th KF)
     i = 0
-    while i < len(frames) - 30 and slam.keyframe_count < 10:
+    while i < len(frames) - 40 and slam.keyframe_count < 10:
         rgb, depth = raw[i]
         slam.track_rgbd_gd(rgb, depth, None, i / 30.0)
         i += 1
@@ -89,7 +112,7 @@ def bench_gd(frames, cfg):
     n_frames = 30
     fpss = []
     for _ in range(3):
-        stop = min(i + n_frames, len(frames))
+        stop = min(i + n_frames, len(frames) - 10)
         t0 = time.perf_counter()
         for k in range(i, stop):
             rgb, depth = raw[k]
@@ -98,12 +121,40 @@ def bench_gd(frames, cfg):
         jax.block_until_ready(slam.tracker.last.T_cw)
         fpss.append((stop - i) / (time.perf_counter() - t0))
         i = stop
-    return sorted(fpss)[1]
+    # quality tail: masks materialized OUTSIDE the timing windows
+    masks, idxs = [], []
+    for k in range(i, min(i + 10, len(frames))):
+        rgb, depth = raw[k]
+        _, refined = slam.track_rgbd_gd(rgb, depth, None, k / 30.0)
+        masks.append(refined)
+        idxs.append(k)
+    slam.tracker.flush()
+    recall, iou = _mask_quality(masks, frames, idxs)
+    ate = _plain_ate(slam.tracker.camera_trajectory())
+
+    # Device-resident window: same full GD system on frames already in HBM
+    # — the framework's own throughput. The host-fed headline includes the
+    # 0.9 MB/frame host->device upload, which on the ~40 MB/s tunneled dev
+    # TPU is the wall (a production v5e host feeds over PCIe at GB/s where
+    # this gap vanishes; measured 66 vs 41 fps, round 5).
+    i = min(i + 10, len(frames) - 30)
+    dev = [(jnp.asarray(raw[k][0]), jnp.asarray(raw[k][1]))
+           for k in range(i, min(i + 30, len(frames)))]
+    jax.block_until_ready(dev)
+    t0 = time.perf_counter()
+    for k, (g, d) in enumerate(dev):
+        slam.track_rgbd_gd(g, d, None, (i + k) / 30.0)
+    slam.tracker.flush()
+    jax.block_until_ready(slam.tracker.last.T_cw)
+    fps_dev = len(dev) / (time.perf_counter() - t0)
+    return sorted(fpss)[1], ate, recall, iou, fps_dev
 
 
 def bench_geometry(frames, cfg):
-    """The DynaSLAM geometry path (4-arg GrabImageRGBD, Tracking.cc:331-369):
-    LightTrack pre-pass -> multi-view geometric mask correction -> Track."""
+    """The DynaSLAM geometry path (4-arg GrabImageRGBD, Tracking.cc:331-369)
+    on a DYNAMIC scene: LightTrack pre-pass -> multi-view geometric mask
+    correction -> Track, as one fused pipelined program. Guards: ATE RMSE +
+    mask recall/IoU (post-window, like bench_gd)."""
     import jax
     import numpy as np
 
@@ -112,20 +163,31 @@ def bench_geometry(frames, cfg):
     slam = System(cfg, pipeline=True)
     slam.tracker.commit_every = 6
     i = 0
-    while i < len(frames) - 20 and slam.keyframe_count < 8:
+    while i < len(frames) - 40 and slam.keyframe_count < 8:
         slam.track_rgbd(frames[i].gray, frames[i].depth, None, i / 30.0,
                         use_geometry=True)
         i += 1
     slam.tracker.flush()
     jax.block_until_ready(slam.tracker.last.T_cw)
-    n_frames = 20
+    n_frames = 30
     t0 = time.perf_counter()
     for k in range(i, i + n_frames):
         slam.track_rgbd(frames[k].gray, frames[k].depth, None, k / 30.0,
                         use_geometry=True)
     slam.tracker.flush()
-    _ = np.asarray(slam.tracker.last.T_cw)
-    return n_frames / (time.perf_counter() - t0)
+    jax.block_until_ready(slam.tracker.last.T_cw)
+    fps = n_frames / (time.perf_counter() - t0)
+    i += n_frames
+    masks, idxs = [], []
+    for k in range(i, min(i + 10, len(frames))):
+        slam.track_rgbd(frames[k].gray, frames[k].depth, None, k / 30.0,
+                        use_geometry=True)
+        masks.append(slam._last_refined_mask)
+        idxs.append(k)
+    slam.tracker.flush()
+    recall, iou = _mask_quality(masks, frames, idxs)
+    ate = _plain_ate(slam.tracker.camera_trajectory())
+    return fps, ate, recall, iou
 
 
 def bench_segmenter():
@@ -137,7 +199,9 @@ def bench_segmenter():
 
     seg = FlaxSegmenter(image_hw=(480, 640))
     rng = np.random.default_rng(0)
-    ims = [rng.integers(0, 255, (480, 640, 3)).astype(np.float32)
+    # uint8 frames: the camera contract (and 4x less tunnel upload than
+    # float32 — the transfers, not the net, dominated at 2 fps)
+    ims = [rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
            for _ in range(6)]
     _ = seg(ims[0])   # compile
     _ = seg(ims[1])
@@ -169,6 +233,11 @@ def main():
     cam = cfg.camera
     frames = [synthetic.render_frame(i, cam, with_dynamic=False)
               for i in range(150)]
+    # The GD/geometry benches run on a DYNAMIC scene: their maskers must do
+    # real suppression work (an all-static scene would benchmark a no-op
+    # mask and hide quality-gutting "optimizations").
+    dyn_frames = [synthetic.render_frame(i, cam, with_dynamic=True)
+                  for i in range(170)]
 
     fps, tracker = bench_tracking(frames, cfg)
     print(json.dumps({
@@ -184,14 +253,17 @@ def main():
     # GD runs SECOND (a fresh-ish process state; running it after the
     # segmenter measurably depresses it) but its line prints LAST — the
     # driver records the final JSON line as the headline metric.
-    fps_gd = bench_gd(frames, cfg)
+    fps_gd, ate_gd, rec_gd, iou_gd, fps_gd_dev = bench_gd(dyn_frames, cfg)
 
-    fps_geo = bench_geometry(frames, cfg)
+    fps_geo, ate_geo, rec_geo, iou_geo = bench_geometry(dyn_frames, cfg)
     print(json.dumps({
         "metric": "geometry_tracked_frames_per_sec",
         "value": round(fps_geo, 2),
         "unit": "fps",
         "vs_baseline": round(fps_geo / 30.0, 3),
+        "ate_rmse_m": round(ate_geo, 4),
+        "mask_recall": round(rec_geo, 3),
+        "mask_iou": round(iou_geo, 3),
     }), flush=True)
 
     fps_seg = bench_segmenter()
@@ -209,6 +281,12 @@ def main():
         "value": round(fps_gd, 2),
         "unit": "fps",
         "vs_baseline": round(fps_gd / 30.0, 3),
+        "ate_rmse_m": round(ate_gd, 4),
+        "mask_recall": round(rec_gd, 3),
+        "mask_iou": round(iou_gd, 3),
+        # the same full GD system on device-resident frames (no tunnel
+        # upload): the framework's own per-frame throughput
+        "device_resident_fps": round(fps_gd_dev, 2),
     }), flush=True)
 
 

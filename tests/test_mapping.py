@@ -32,6 +32,7 @@ def seq():
 
 
 class TestCreateNewMapPoints:
+    @pytest.mark.e2e   # minute-scale compile; full run covers it
     def test_wide_baseline_triangulation(self, seq):
         """Two depthless keyframes with a wide baseline: epipolar matching +
         DLT must create accurate new points (LocalMapping.cc:207-453). Also
@@ -82,6 +83,7 @@ class TestCreateNewMapPoints:
         out2 = mapping.create_new_map_points(arena2, 1, SCFG)
         assert int(jnp.sum(out2.pt_valid)) == before
 
+    @pytest.mark.e2e   # minute-scale compile; full run covers it
     def test_mono_map_grows_past_bootstrap(self, seq):
         tr = Tracking(SCFG, kmax=32, pmax=16384)
         for i, fr in enumerate(seq):
@@ -184,6 +186,7 @@ class TestPointMaintenance:
 
 
 class TestRelocalizationAndReset:
+    @pytest.mark.e2e   # minute-scale compile; full run covers it
     def test_reloc_without_vocabulary(self, seq):
         """Default System construction (no vocab): relocalization matches
         against recent keyframes with PnP (depthless query keypoints)."""

@@ -70,6 +70,7 @@ class TestEdges:
 
 
 class TestGeoMask:
+    @pytest.mark.e2e   # minute-scale compile; full run covers it
     def test_warmup_passthrough(self, seq):
         gm = geomask.GeoMaskMaker(SCFG)
         ones = jnp.ones((120, 160))
@@ -77,6 +78,7 @@ class TestGeoMask:
         m = gm.get_mask(ones)
         np.testing.assert_array_equal(np.asarray(m), np.ones((120, 160)))
 
+    @pytest.mark.e2e   # minute-scale compile; full run covers it
     def test_static_scene_keeps_mask(self):
         frames = [synthetic.render_frame(i, SCAM, with_dynamic=False)
                   for i in range(7)]

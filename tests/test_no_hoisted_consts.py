@@ -68,6 +68,7 @@ def test_track_step_has_no_hoisted_consts():
     _assert_no_consts(traced, "track_step")
 
 
+@pytest.mark.e2e   # minute-scale compile; full run covers it
 def test_keyframe_program_replays(monkeypatch):
     """Drive the sync RGB-D tracker long enough that keyframe_program's
     compiled executable is REPLAYED (3+ keyframes with the same static

@@ -99,6 +99,71 @@ def main():
         fl_fn = jax.jit(lambda a, b: flow_ops.farneback_flow(a, b))
         timeit("farneback_flow (default knobs)", lambda: fl_fn(g0, g1), reps)
 
+        # --- GD stage breakdown on the same inputs the fused program sees
+        from gdslam_tpu.masking import geomask
+        from gdslam_tpu.backend import solvers as slv
+        from gdslam_tpu.ops import hamming, orb as orb_ops
+        cfg_ = cfg
+        key = jax.random.PRNGKey(0)
+        g1f = g1.astype(jnp.float32)
+        g0f = g0.astype(jnp.float32)
+        timeit("gd_step (extract+match+ransac+flow+mahal)",
+               lambda: geomask.gd_step(g1f, d1, ones, ref_gray, ref_depth,
+                                       ref_feats, key, cfg_), reps)
+        s = geomask.res_factor(cfg_)
+        finest = {1: 0, 2: 1, 4: 2}[s]
+        fl_half = jax.jit(lambda a, b: flow_ops.farneback_flow(
+            a, b, levels=5, finest_level=finest, upsample=(s == 1)))
+        flw = fl_half(g1f, g0f)
+        jax.block_until_ready(flw)
+        timeit(f"  flow (levels=5, finest={finest})",
+               lambda: fl_half(g1f, g0f), reps)
+        timeit("  mahalanobis_mask",
+               lambda: geomask.mahalanobis_mask(
+                   d1, d0, flw, jnp.eye(4), ones, cfg_, False,
+                   ref_gray=g1f, cur_gray=g0f, flow_factor=s), reps)
+
+        feats1 = extractor.extract(g1f, cfg_.orb, cam.height, cam.width)
+        jax.block_until_ready(feats1.uv)
+
+        def match_ransac():
+            A, B = feats1, ref_feats
+            D = hamming.hamming_matrix(
+                orb_ops.descriptors_pm1(A.desc, A.valid),
+                orb_ops.descriptors_pm1(B.desc, B.valid))
+            best, second, idx = hamming.best_two(D, axis=1)
+            good = A.valid & (best < 64)
+            from gdslam_tpu.core import camera as cam_ops2
+            P = cam_ops2.backproject(A.uv, jnp.ones(A.uv.shape[0]), cam)
+            Q = cam_ops2.backproject(B.uv[idx], jnp.ones(A.uv.shape[0]), cam)
+            return slv.ransac_rigid(P, Q, good, key,
+                                    (cam.fx, cam.fy, cam.cx, cam.cy),
+                                    B.uv[idx], n_iters=300, min_inliers=20,
+                                    px_threshold=4.0).T
+        mr = jax.jit(match_ransac)
+        timeit("  hamming match + ransac_rigid", lambda: mr(), reps)
+
+        # track_frame_core alone (pre-built frame)
+        from gdslam_tpu.frontend.frame import build_frame
+        from gdslam_tpu.system.tracking import track_frame_core
+        frame1 = build_frame(feats1, d1, ones, cam)
+        jax.block_until_ready(frame1.uv)
+        timeit("  track_frame_core (pre-built frame)",
+               lambda: track_frame_core(tr2.arena, tr2.last, vel2,
+                                        tr2._jbool(True), frame1, cfg_,
+                                        tr2._ref_kf_dev, tr2._jbool(False)),
+               reps)
+
+        # pose_optimization alone
+        from gdslam_tpu.backend import optimizer as opt_mod
+        N = feats1.uv.shape[0]
+        obs = opt_mod.PoseObs(
+            pw=jnp.ones((N, 3)), uv=feats1.uv, ur=-jnp.ones(N),
+            inv_sigma2=jnp.ones(N), valid=feats1.valid)
+        po = jax.jit(lambda T: opt_mod.pose_optimization(
+            T, obs, (cam.fx, cam.fy, cam.cx, cam.cy), cam.bf)[0])
+        timeit("  pose_optimization (4x10 GN)", lambda: po(jnp.eye(4)), reps)
+
     # host-side dispatch overhead: time N pipelined process() calls with
     # device-resident inputs (includes python + tunnel dispatch latency)
     tr3 = Tracking(cfg, kmax=256, pmax=65536, pipeline=True)
