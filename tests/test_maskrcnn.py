@@ -106,6 +106,7 @@ class TestMaskNetBridge:
         assert labels.max() == 2   # two instances
 
 
+@pytest.mark.e2e   # session fixture converts a synthetic h5 (~2 min compile)
 class TestWeightConversion:
     """convert_keras_h5 against a synthetically-written h5 in the matterport
     layout (same layer naming + Keras weight conventions: conv biases, raw

@@ -71,6 +71,7 @@ class TestVocabularyRetrieval:
         v = voc.default_vocabulary()
         assert v.n_leaves >= 10_000
 
+    @pytest.mark.e2e   # 24 renders + BoW transforms, ~1 min
     def test_retrieval_precision_default_vocab(self):
         """Top-1 retrieval over distinct places with perturbed queries."""
         rng = np.random.default_rng(3)
