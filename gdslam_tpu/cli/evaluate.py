@@ -136,7 +136,13 @@ def main(argv=None):
             g8 = rgb if rgb.ndim == 2 else (
                 rgb.astype(np.float32) @ np.array(
                     [0.299, 0.587, 0.114], np.float32)).astype(np.uint8)
-            _, refined = slam.track_rgbd_gd(g8, depth, mask, ts)
+            # uint16 sensor units: triggers the single-buffer packed
+            # upload in the GD fast path (numerically identical — the
+            # on-disk PNG was uint16 in these units)
+            d16 = depth if depth.dtype == np.uint16 else np.clip(
+                depth * cfg.camera.depth_map_factor, 0, 65535
+            ).astype(np.uint16)
+            _, refined = slam.track_rgbd_gd(g8, d16, mask, ts)
         elif args.mode == "geometry":
             slam.track_rgbd(rgb, depth, mask, ts, use_geometry=True)
             refined = slam._last_refined_mask
