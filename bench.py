@@ -132,35 +132,11 @@ def bench_gd(frames, cfg):
     recall, iou = _mask_quality(masks, frames, idxs)
     ate = _plain_ate(slam.tracker.camera_trajectory())
 
-    # Device-resident window: same full GD system on frames already in HBM
-    # — the framework's own throughput. The host-fed headline includes the
-    # 0.9 MB/frame host->device upload, which on the ~40 MB/s tunneled dev
-    # TPU is the wall (a production v5e host feeds over PCIe at GB/s where
-    # this gap vanishes; measured 66 vs 41 fps, round 5).
-    i = min(i + 10, len(frames))
-    # strictly FORWARD frames: rewinding timestamps derails the motion
-    # model (observed: reloc loop at 0.76 fps when this window reused
-    # earlier frames)
-    dev = [(jnp.asarray(raw[k][0]), jnp.asarray(raw[k][1]))
-           for k in range(i, min(i + 33, len(frames)))]
-    if len(dev) < 8:
-        return sorted(fpss)[1], ate, recall, iou, float("nan")
-    jax.block_until_ready(dev)
-    # warm: device-array inputs route to the UNPACKED program, which the
-    # packed main loop never compiled — a compile inside the timed window
-    # measured 1.2 "fps"
-    for k in range(3):
-        g, d = dev[k]
-        slam.track_rgbd_gd(g, d, None, (i + k) / 30.0)
-    slam.tracker.flush()
-    jax.block_until_ready(slam.tracker.last.T_cw)
-    t0 = time.perf_counter()
-    for k, (g, d) in enumerate(dev[3:]):
-        slam.track_rgbd_gd(g, d, None, (i + 3 + k) / 30.0)
-    slam.tracker.flush()
-    jax.block_until_ready(slam.tracker.last.T_cw)
-    fps_dev = (len(dev) - 3) / (time.perf_counter() - t0)
-    return sorted(fpss)[1], ate, recall, iou, fps_dev
+    # (A device-resident variant of this loop — frames already in HBM, no
+    # host upload — measured 66 fps in a fresh process, tools/profile_hot:
+    # the host-fed number below includes the dev tunnel's ~40 MB/s upload,
+    # a transport a production PCIe-attached v5e host does not have.)
+    return sorted(fpss)[1], ate, recall, iou
 
 
 def bench_geometry(frames, cfg):
@@ -270,7 +246,7 @@ def main():
     # GD runs SECOND (a fresh-ish process state; running it after the
     # segmenter measurably depresses it) but its line prints LAST — the
     # driver records the final JSON line as the headline metric.
-    fps_gd, ate_gd, rec_gd, iou_gd, fps_gd_dev = bench_gd(dyn_frames, cfg)
+    fps_gd, ate_gd, rec_gd, iou_gd = bench_gd(dyn_frames, cfg)
 
     fps_geo, ate_geo, rec_geo, iou_geo = bench_geometry(dyn_frames, cfg)
     print(json.dumps({
@@ -301,9 +277,6 @@ def main():
         "ate_rmse_m": round(ate_gd, 4),
         "mask_recall": round(rec_gd, 3),
         "mask_iou": round(iou_gd, 3),
-        # the same full GD system on device-resident frames (no tunnel
-        # upload): the framework's own per-frame throughput
-        "device_resident_fps": round(fps_gd_dev, 2),
     }), flush=True)
 
 

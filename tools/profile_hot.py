@@ -164,6 +164,39 @@ def main():
             T, obs, (cam.fx, cam.fy, cam.cx, cam.cy), cam.bf)[0])
         timeit("  pose_optimization (4x10 GN)", lambda: po(jnp.eye(4)), reps)
 
+    # Device-resident GD throughput: the FULL GD system (fast path,
+    # pipelined commits) on frames already in HBM — the framework's own
+    # per-frame rate without the dev tunnel's host->device upload
+    # (bench.py's headline includes that upload; measured 66 vs ~44-54 fps
+    # round 5). Uses a fresh tracker to keep the run self-contained.
+    from gdslam_tpu.system.slam import System as _Sys
+    frames_dyn = [synthetic.render_frame(i, cam, with_dynamic=True)
+                  for i in range(110)]
+    raw_dev = [(jnp.asarray((np.asarray(fr.rgb).astype(np.float32) @ w3)
+                            .astype(np.uint8)),
+                jnp.asarray((np.asarray(fr.depth) * dmf).astype(np.uint16)))
+               for fr in frames_dyn]
+    jax.block_until_ready(raw_dev)
+    s2 = _Sys(cfg, pipeline=True)
+    s2.tracker.commit_every = 10
+    i2 = 0
+    while i2 < len(frames_dyn) - 35 and s2.keyframe_count < 10:
+        g, d = raw_dev[i2]
+        s2.track_rgbd_gd(g, d, None, i2 / 30.0)
+        i2 += 1
+    s2.tracker.flush()
+    jax.block_until_ready(s2.tracker.last.T_cw)
+    t0 = time.perf_counter()
+    n2 = 0
+    for k in range(i2, len(frames_dyn)):
+        g, d = raw_dev[k]
+        s2.track_rgbd_gd(g, d, None, k / 30.0)
+        n2 += 1
+    s2.tracker.flush()
+    jax.block_until_ready(s2.tracker.last.T_cw)
+    print(f"{'GD device-resident frames/sec':42s} "
+          f"{n2 / (time.perf_counter() - t0):8.2f} fps")
+
     # host-side dispatch overhead: time N pipelined process() calls with
     # device-resident inputs (includes python + tunnel dispatch latency)
     tr3 = Tracking(cfg, kmax=256, pmax=65536, pipeline=True)
